@@ -1,0 +1,136 @@
+"""Model/training configuration.
+
+The reference consumes a flat JSON config (``run_code/1d_config.json``) that
+is gitignored and therefore absent from its repo; the schema was
+reconstructed from every consumption site (SURVEY.md §2c; reference
+train.py:23, tts/models.py:129-148).  This module gives that schema a typed
+home with validated defaults, JSON round-trip, and the fixed hyperparameters
+the reference hard-codes in train.py:32-47.
+
+Where the reference's actual values are unknowable (the file is not
+published), defaults here are chosen TPU-first: channel counts that tile the
+128-lane MXU, GroupNorm-compatible widths, and head dims >= 64.
+"""
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Topology of TTSSingleSpeaker (text encoder + conditional 1-D UNet)."""
+
+    # --- text encoder (reference tts/models.py:128-135) ---
+    cmu_vocab_len: int = 256          # >= 149 (148 symbols + sep id); padded
+    #                                   to 256 for lane-aligned embedding rows
+    cmu_seq_len: int = 550            # padded text length (train.py:164-165)
+    cross_attention_dim: int = 768    # text width == cross-attn dim
+    attention_head_dim: int = 64      # text-encoder head dim (dim % it == 0)
+    text_encoder_dropout: float = 0.1
+    text_encoder_layers: int = 4
+
+    # --- UNet (reference tts/models.py:137-148) ---
+    sample_size: int = 900            # latent frames (12 s * 75 Hz)
+    in_channels: int = 8              # EnCodec n_q at 6 kbps
+    out_channels: int = 8
+    layers_per_block: int = 2
+    block_out_channels: Tuple[int, ...] = (256, 512, 768, 768)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock1D",
+        "CrossAttnDownBlock1D",
+        "CrossAttnDownBlock1D",
+        "DownBlock1D",
+    )
+    mid_block_type: Optional[str] = "UNetMidBlock1DCrossAttn"
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock1D",
+        "CrossAttnUpBlock1D",
+        "CrossAttnUpBlock1D",
+        "CrossAttnUpBlock1D",
+    )
+    # UNet attention: `attention_head_dim` in the reference UNet is used as
+    # the NUMBER OF HEADS (quirk: unet_blocks.py:317-319 passes it as
+    # num_attention_heads and divides channels by it for the head dim).
+    unet_num_heads: int = 8
+    act_fn: str = "silu"
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    dropout: float = 0.0
+
+    def __post_init__(self):
+        if self.cmu_vocab_len < 149:
+            raise ValueError("cmu_vocab_len must cover 148 symbols + sep id")
+        if self.cross_attention_dim % self.attention_head_dim != 0:
+            raise ValueError("cross_attention_dim % attention_head_dim != 0")
+        if len(self.down_block_types) != len(self.block_out_channels):
+            raise ValueError("down_block_types/block_out_channels mismatch")
+        if len(self.up_block_types) != len(self.block_out_channels):
+            raise ValueError("up_block_types/block_out_channels mismatch")
+        for c in self.block_out_channels:
+            if c % self.norm_num_groups != 0:
+                raise ValueError(f"channels {c} not divisible by groups")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings (fixed in reference train.py:32-47, 60-65)."""
+
+    learning_rate: float = 1e-5
+    adam_b1: float = 0.95
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 1e-6
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
+    num_train_epochs: int = 100
+    lr_scheduler: str = "constant_with_warmup"
+    lr_warmup_steps: int = 500
+    save_per_epochs: int = 1
+    batch_size: int = 32
+    num_train_timesteps: int = 1000
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        """Load a flat reference-style JSON config (SURVEY.md §2c schema)."""
+        with open(path) as f:
+            raw = json.load(f)
+        return cls.from_flat_dict(raw)
+
+    @classmethod
+    def from_flat_dict(cls, raw: dict) -> "Config":
+        model_fields = {f.name for f in dataclasses.fields(ModelConfig)}
+        train_fields = {f.name for f in dataclasses.fields(TrainConfig)}
+        mk = {}
+        tk = {}
+        for k, v in raw.items():
+            if isinstance(v, list):
+                v = tuple(v)
+            if k in model_fields:
+                mk[k] = v
+            elif k in train_fields:
+                tk[k] = v
+            elif k == "attention_head_dim":
+                mk[k] = v
+            # unknown keys are ignored (reference does no validation at all)
+        return cls(model=ModelConfig(**mk), train=TrainConfig(**tk))
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "model": dataclasses.asdict(self.model),
+                    "train": dataclasses.asdict(self.train),
+                },
+                f, indent=2,
+            )

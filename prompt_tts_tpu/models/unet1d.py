@@ -1,0 +1,411 @@
+"""Conditional 1-D UNet denoiser, channels-last, Flax.
+
+Behavioral twin of the reference ``Unet1DConditionModel``
+(reference tts/ldm/unet_1d_condition.py:38,553-739) and its block zoo
+(reference tts/ldm/unet_blocks.py, tts/ldm/resnet.py,
+tts/ldm/transformer_1d.py), redesigned TPU-first:
+
+* layout is ``[B, T, C]`` (lanes on channels) instead of torch ``[B, C, T]``;
+* all lengths are static Python ints — the up path resizes to the recorded
+  skip length at trace time instead of the reference's runtime
+  ``forward_upsample_size`` check (unet_1d_condition.py:589-594, 712-715);
+* activation checkpointing is applied at the train-step level with
+  ``jax.checkpoint`` policies rather than per-block torch checkpoint calls
+  (unet_blocks.py:186-194 etc.).
+
+Parity quirks deliberately kept (SURVEY.md §7.3):
+* cross-attention over padded text is UNMASKED — the reference computes an
+  additive mask but never forwards it into any transformer stack
+  (unet_1d_condition.py:596-599 vs unet_blocks.py:393-398, and explicitly
+  ``None`` for up blocks at unet_1d_condition.py:721);
+* the spatial transformer applies ``proj_in`` but NOT ``proj_out`` — the
+  reference's continuous path leaves ``proj_out`` unused
+  (transformer_1d.py:275-279, the 2-D application is commented out), which
+  is why its DDP needs ``find_unused_parameters``.  ``apply_proj_out``
+  restores the conventional behavior when set;
+* in UNet blocks the config's ``attention_head_dim`` acts as the NUMBER of
+  heads with head_dim = channels/heads (unet_blocks.py:317-319).
+"""
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prompt_tts_tpu.config import ModelConfig
+from prompt_tts_tpu.models.embeddings import TimestepEmbedding, timestep_embedding
+from prompt_tts_tpu.models.layers import Conv1d, GroupNorm, TransformerBlock
+
+
+def _nearest_resize(x: jnp.ndarray, target_len: int) -> jnp.ndarray:
+    """Nearest-neighbor resize along T for ``[B, T, C]`` (torch semantics).
+
+    torch ``F.interpolate(mode="nearest")`` picks ``src = floor(i * Tin/Tout)``.
+    Implemented as a static gather, which XLA lowers efficiently.
+    """
+    t_in = x.shape[1]
+    if t_in == target_len:
+        return x
+    idx = (jnp.arange(target_len) * t_in) // target_len
+    return x[:, idx, :]
+
+
+class ResnetBlock1D(nn.Module):
+    """GN -> SiLU -> conv -> +temb -> GN -> SiLU -> dropout -> conv -> +skip.
+
+    Reference ``ResnetBlock1D`` (tts/ldm/resnet.py:99-283), "default"
+    time-embedding norm, kernel 3, 1x1 shortcut when channels change.
+    """
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dropout: float = 0.0
+    output_scale_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic: bool = True):
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = Conv1d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
+
+        t = nn.silu(temb)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(t)
+        h = h + t[:, None, :]
+
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv1d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = Conv1d(self.out_channels, 1, padding=0, dtype=self.dtype,
+                       name="conv_shortcut")(x)
+        return (x + h) / self.output_scale_factor
+
+
+class Downsample1D(nn.Module):
+    """Strided conv downsample (k3, s2, pad1) — reference resnet.py:52-96."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv1d(self.channels, 3, stride=2, padding=1,
+                      dtype=self.dtype, name="conv")(x)
+
+
+class Upsample1D(nn.Module):
+    """Nearest x2 (to a static target length) + conv k3 — resnet.py:11-49."""
+
+    channels: int
+    target_len: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _nearest_resize(x, self.target_len)
+        return Conv1d(self.channels, 3, dtype=self.dtype, name="conv")(x)
+
+
+class SpatialTransformer1D(nn.Module):
+    """GroupNorm -> 1x1 proj_in -> transformer block(s) -> +residual.
+
+    Reference ``Transformer1DModel`` (tts/ldm/transformer_1d.py:26,199-310).
+    ``apply_proj_out=False`` mirrors the reference bug where ``proj_out``
+    exists but is never applied on the continuous path.
+    """
+
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int
+    groups: int = 32
+    num_layers: int = 1
+    dropout: float = 0.0
+    apply_proj_out: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        inner = self.num_heads * self.head_dim
+        residual = x
+        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.num_layers):
+            h = TransformerBlock(
+                dim=inner, num_heads=self.num_heads, head_dim=self.head_dim,
+                dropout=self.dropout,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype, name=f"block_{i}",
+            )(h, context=context, deterministic=deterministic)
+        if self.apply_proj_out:
+            h = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class DownBlock1D(nn.Module):
+    """N resnets (+ optional downsample); returns per-layer skips.
+
+    Reference ``DownBlock1D`` (unet_blocks.py:205-281).
+    """
+
+    out_channels: int
+    num_layers: int
+    add_downsample: bool
+    groups: int
+    eps: float
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic: bool = True):
+        skips = []
+        for i in range(self.num_layers):
+            x = ResnetBlock1D(self.out_channels, self.groups, self.eps,
+                              self.dropout, dtype=self.dtype,
+                              name=f"resnet_{i}")(x, temb, deterministic)
+            skips.append(x)
+        if self.add_downsample:
+            x = Downsample1D(self.out_channels, dtype=self.dtype,
+                             name="downsample")(x)
+            skips.append(x)
+        return x, skips
+
+
+class CrossAttnDownBlock1D(nn.Module):
+    """N x (resnet -> spatial transformer) (+ downsample) — unet_blocks.py:284-408."""
+
+    out_channels: int
+    num_layers: int
+    num_heads: int
+    cross_attention_dim: int
+    add_downsample: bool
+    groups: int
+    eps: float
+    dropout: float = 0.0
+    apply_proj_out: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, deterministic: bool = True):
+        skips = []
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = ResnetBlock1D(self.out_channels, self.groups, self.eps,
+                              self.dropout, dtype=self.dtype,
+                              name=f"resnet_{i}")(x, temb, deterministic)
+            x = SpatialTransformer1D(
+                num_heads=self.num_heads, head_dim=head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                groups=self.groups, dropout=self.dropout,
+                apply_proj_out=self.apply_proj_out, dtype=self.dtype,
+                name=f"attn_{i}",
+            )(x, context, deterministic)
+            skips.append(x)
+        if self.add_downsample:
+            x = Downsample1D(self.out_channels, dtype=self.dtype,
+                             name="downsample")(x)
+            skips.append(x)
+        return x, skips
+
+
+class UpBlock1D(nn.Module):
+    """N x (skip-concat -> resnet) (+ optional upsample) — unet_blocks.py:131-202."""
+
+    out_channels: int
+    num_layers: int
+    add_upsample: bool
+    upsample_target_len: int
+    groups: int
+    eps: float
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock1D(self.out_channels, self.groups, self.eps,
+                              self.dropout, dtype=self.dtype,
+                              name=f"resnet_{i}")(x, temb, deterministic)
+        if self.add_upsample:
+            x = Upsample1D(self.out_channels, self.upsample_target_len,
+                           dtype=self.dtype, name="upsample")(x)
+        return x
+
+
+class CrossAttnUpBlock1D(nn.Module):
+    """N x (skip-concat -> resnet -> transformer) (+ upsample) — unet_blocks.py:411-529."""
+
+    out_channels: int
+    num_layers: int
+    num_heads: int
+    cross_attention_dim: int
+    add_upsample: bool
+    upsample_target_len: int
+    groups: int
+    eps: float
+    dropout: float = 0.0
+    apply_proj_out: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context, deterministic: bool = True):
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock1D(self.out_channels, self.groups, self.eps,
+                              self.dropout, dtype=self.dtype,
+                              name=f"resnet_{i}")(x, temb, deterministic)
+            x = SpatialTransformer1D(
+                num_heads=self.num_heads, head_dim=head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                groups=self.groups, dropout=self.dropout,
+                apply_proj_out=self.apply_proj_out, dtype=self.dtype,
+                name=f"attn_{i}",
+            )(x, context, deterministic)
+        if self.add_upsample:
+            x = Upsample1D(self.out_channels, self.upsample_target_len,
+                           dtype=self.dtype, name="upsample")(x)
+        return x
+
+
+class MidBlock1DCrossAttn(nn.Module):
+    """resnet -> (transformer -> resnet) x N — unet_blocks.py:532-620."""
+
+    channels: int
+    num_heads: int
+    cross_attention_dim: int
+    num_layers: int = 1
+    groups: int = 32
+    eps: float = 1e-5
+    dropout: float = 0.0
+    apply_proj_out: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context, deterministic: bool = True):
+        head_dim = self.channels // self.num_heads
+        x = ResnetBlock1D(self.channels, self.groups, self.eps, self.dropout,
+                          dtype=self.dtype, name="resnet_0")(
+            x, temb, deterministic)
+        for i in range(self.num_layers):
+            x = SpatialTransformer1D(
+                num_heads=self.num_heads, head_dim=head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                groups=self.groups, dropout=self.dropout,
+                apply_proj_out=self.apply_proj_out, dtype=self.dtype,
+                name=f"attn_{i}",
+            )(x, context, deterministic)
+            x = ResnetBlock1D(self.channels, self.groups, self.eps,
+                              self.dropout, dtype=self.dtype,
+                              name=f"resnet_{i + 1}")(x, temb, deterministic)
+        return x
+
+
+class UNet1DCondition(nn.Module):
+    """The full conditional denoiser: eps_hat(x_t, t, text_context).
+
+    Input/output ``[B, T, C]`` channels-last; ``context`` is the text
+    encoder output ``[B, S, cross_attention_dim]``.
+    """
+
+    config: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,     # [B, T, in_channels]
+        timesteps: jnp.ndarray,  # [B] int
+        context: jnp.ndarray,    # [B, S, cross_dim]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:            # [B, T, out_channels]
+        cfg = self.config
+        chans = cfg.block_out_channels
+        n_blocks = len(chans)
+
+        # 1. time conditioning
+        t_feat = timestep_embedding(
+            timesteps, chans[0],
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=cfg.freq_shift,
+        ).astype(self.dtype)
+        temb = TimestepEmbedding(chans[0] * 4, dtype=self.dtype,
+                                 name="time_embedding")(t_feat)
+
+        # 2. input projection
+        x = Conv1d(chans[0], 3, dtype=self.dtype, name="conv_in")(sample)
+
+        # 3. down path (track skips + their static lengths)
+        skips = [x]
+        skip_lens = [x.shape[1]]
+        for i, block_type in enumerate(cfg.down_block_types):
+            is_final = i == n_blocks - 1
+            common = dict(
+                out_channels=chans[i], num_layers=cfg.layers_per_block,
+                add_downsample=not is_final, groups=cfg.norm_num_groups,
+                eps=cfg.norm_eps, dropout=cfg.dropout, dtype=self.dtype,
+                name=f"down_{i}",
+            )
+            if block_type == "CrossAttnDownBlock1D":
+                x, new_skips = CrossAttnDownBlock1D(
+                    num_heads=cfg.unet_num_heads,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    **common,
+                )(x, temb, context, deterministic)
+            elif block_type == "DownBlock1D":
+                x, new_skips = DownBlock1D(**common)(x, temb, deterministic)
+            else:
+                raise ValueError(f"unknown down block {block_type}")
+            skips.extend(new_skips)
+            skip_lens.extend(s.shape[1] for s in new_skips)
+
+        # 4. mid
+        if cfg.mid_block_type == "UNetMidBlock1DCrossAttn":
+            x = MidBlock1DCrossAttn(
+                channels=chans[-1], num_heads=cfg.unet_num_heads,
+                cross_attention_dim=cfg.cross_attention_dim,
+                groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                dropout=cfg.dropout, dtype=self.dtype, name="mid",
+            )(x, temb, context, deterministic)
+        elif cfg.mid_block_type is not None:
+            raise ValueError(f"unknown mid block {cfg.mid_block_type}")
+
+        # 5. up path: each block consumes layers_per_block+1 skips and
+        # upsamples to the length of the NEXT skip to be consumed (the
+        # static-shape equivalent of the reference's forward_upsample_size).
+        rev_chans = list(reversed(chans))
+        up_layers = cfg.layers_per_block + 1
+        for i, block_type in enumerate(cfg.up_block_types):
+            is_final = i == n_blocks - 1
+            remaining = len(skips) - up_layers
+            target_len = skip_lens[remaining - 1] if remaining > 0 else x.shape[1]
+            common = dict(
+                out_channels=rev_chans[i], num_layers=up_layers,
+                add_upsample=not is_final, upsample_target_len=target_len,
+                groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                dropout=cfg.dropout, dtype=self.dtype, name=f"up_{i}",
+            )
+            if block_type == "CrossAttnUpBlock1D":
+                x = CrossAttnUpBlock1D(
+                    num_heads=cfg.unet_num_heads,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    **common,
+                )(x, skips, temb, context, deterministic)
+            elif block_type == "UpBlock1D":
+                x = UpBlock1D(**common)(x, skips, temb, deterministic)
+            else:
+                raise ValueError(f"unknown up block {block_type}")
+
+        # 6. output head
+        x = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, dtype=self.dtype,
+                      name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = Conv1d(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(x)
+        return x

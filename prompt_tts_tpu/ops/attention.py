@@ -1,0 +1,81 @@
+"""Scaled dot-product attention: dispatcher + XLA reference path.
+
+Layout is ``[B, T, H, D]`` (batch, time, heads, head_dim) — chosen so the
+contraction feeds the MXU with D or T on the lane axis without transposes.
+
+The XLA path computes softmax in f32 regardless of input dtype (bf16-safe),
+matching the numerics of the diffusers attention the reference depends on
+(scale = D**-0.5, additive pre-softmax bias).
+
+A fused Pallas flash-attention kernel (prompt_tts_tpu.ops.pallas.attention)
+is used on TPU for long sequences; see `_use_pallas` for the gate.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jnp.ndarray,  # [B, Tq, H, D]
+    k: jnp.ndarray,  # [B, Tk, H, D]
+    v: jnp.ndarray,  # [B, Tk, H, D]
+    bias: Optional[jnp.ndarray],  # broadcastable to [B, H, Tq, Tk]
+) -> jnp.ndarray:
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Attention over ``[B, T, H, D]`` tensors with optional additive bias.
+
+    Dispatches to the fused Pallas kernel on TPU when profitable; the XLA
+    path is the semantic reference and the universal fallback.
+    """
+    if _use_pallas(q, k, v, bias):
+        from prompt_tts_tpu.ops.pallas.attention import flash_attention
+        return flash_attention(q, k, v, bias=bias)
+    return _xla_attention(q, k, v, bias)
+
+
+def _use_pallas(q, k, v, bias) -> bool:
+    # Measured on v5e at this model's shapes (B=8, T=900/550, H=8, D<=96):
+    # XLA's fused attention matches or beats the current Pallas kernel, so
+    # the default is XLA; set PROMPT_TTS_TPU_ATTN=pallas to force the fused
+    # kernel (kept for larger-sequence regimes and further tuning).
+    import os
+    mode = os.environ.get("PROMPT_TTS_TPU_ATTN", "auto")
+    if mode == "xla" or not _on_tpu():
+        return False
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    # Key-only biases (padded-text masks) only; ragged T is padded inside.
+    if bias is not None and bias.shape != (B, 1, 1, Tk):
+        return False
+    if mode == "pallas":
+        return Tq >= 128 and Tk >= 128 and D <= 128
+    # auto: the kernel only wins clearly past the VMEM-friendly regime XLA
+    # already fuses well; enable for long sequences.
+    return Tq >= 2048 and Tk >= 2048 and D <= 128

@@ -1,0 +1,155 @@
+"""Fused attention kernel for TPU (Pallas).
+
+One kernel instance handles one (batch*head, q-block) grid cell: it loads a
+``[BQ, D]`` query block plus the full ``[Tk, D]`` key/value panels for that
+batch-head into VMEM, computes f32 scores + softmax + PV in one pass, and
+writes the ``[BQ, D]`` output block — no ``[Tq, Tk]`` score matrix ever
+touches HBM.  For this framework's sequence lengths (latent T <= ~1024,
+text S = 550) the K/V panels fit VMEM comfortably, so a single-pass
+block-softmax is both simpler and faster than a streaming flash loop.
+
+Supported bias: an additive per-key bias ``[B, Tk]`` (the padded-text key
+mask).  Richer biases fall back to the XLA path in the dispatcher.
+
+Backward runs as XLA recompute via ``jax.custom_vjp`` — training uses the
+(well-fused) XLA gradient while inference gets the fused forward.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BQ = 128          # query block (sublane-friendly)
+_NEG = -1e9        # additive mask for padded keys
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    # q: [BQ, D]; k/v: [Tk, D]; bias: [1, Tk]; o: [BQ, D]
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                     # [BQ, Tk]
+    s = s + bias_ref[0].astype(jnp.float32)  # [1, Tk] broadcasts over BQ
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(x, pads)
+
+
+def _flash_fwd_impl(q, k, v, key_bias):
+    """q/k/v: [B, T, H, D]; key_bias: [B, Tk] additive (f32)."""
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+
+    # [B, T, H, D] -> [B*H, T, D]
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    qb = _pad_to(qb, 1, _BQ)
+    kb = _pad_to(kb, 1, 128)
+    Tq_p, Tk_p = qb.shape[1], kb.shape[1]
+    vb = _pad_to(vb, 1, 128)
+
+    # fold key padding into the additive bias
+    bias = _pad_to(key_bias.astype(jnp.float32), 1, 128)
+    if Tk_p != Tk:
+        pad_mask = jnp.arange(Tk_p) >= Tk
+        bias = jnp.where(pad_mask[None, :], _NEG, bias)
+    bias = bias[:, None, :]  # [B, 1, Tk_p]: block == full trailing dims
+
+    grid = (B * H, Tq_p // _BQ)
+    out = pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BQ, D), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk_p, D), lambda bh, iq: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk_p, D), lambda bh, iq: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tk_p), lambda bh, iq, H=H: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BQ, D), lambda bh, iq: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tq_p, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tq_p * Tk_p * D,
+            bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
+            transcendentals=B * H * Tq_p * Tk_p,
+        ),
+    )(qb, kb, vb, bias)
+
+    out = out[:, :Tq, :].reshape(B, H, Tq, D).transpose(0, 2, 1, 3)
+    return out
+
+
+def _xla_ref(q, k, v, key_bias):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + key_bias[:, None, None, :].astype(s.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@jax.custom_vjp
+def _flash(q, k, v, key_bias):
+    return _flash_fwd_impl(q, k, v, key_bias)
+
+
+def _flash_fwd(q, k, v, key_bias):
+    return _flash_fwd_impl(q, k, v, key_bias), (q, k, v, key_bias)
+
+
+def _flash_bwd(res, g):
+    q, k, v, key_bias = res
+    _, vjp = jax.vjp(_xla_ref, q, k, v, key_bias)
+    dq, dk, dv, _ = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fused attention over ``[B, T, H, D]``; bias must be key-only.
+
+    ``bias`` may be None or shaped ``[B, 1, 1, Tk]`` (as produced by
+    :func:`prompt_tts_tpu.models.layers.mask_to_bias`).
+    """
+    B, _, _, _ = q.shape
+    Tk = k.shape[1]
+    if bias is None:
+        key_bias = jnp.zeros((B, Tk), jnp.float32)
+    else:
+        if bias.shape != (B, 1, 1, Tk):
+            raise ValueError(f"flash_attention needs key-only bias, got {bias.shape}")
+        key_bias = bias.reshape(B, Tk).astype(jnp.float32)
+    return _flash(q, k, v, key_bias)
