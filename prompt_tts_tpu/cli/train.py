@@ -1,0 +1,100 @@
+"""Train the TTS model: ``python -m prompt_tts_tpu.cli.train``.
+
+CLI surface mirrors the reference (reference train.py:150-168:
+--data_file/--log_dir/--config_file/--ckpt_dir/--batch_size/
+--max_seq_length) with additions the reference lacks: ``--resume`` (the
+reference has no load path), ``--smoke`` (synthetic-data CPU smoke run),
+``--bf16``, ``--remat``.
+"""
+
+import argparse
+import logging
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the TTS diffusion model.")
+    p.add_argument("--data_file", type=str, default=None,
+                   help="Processed code tar (generate_codes output).")
+    p.add_argument("--log_dir", type=str, default="runs/train",
+                   help="TensorBoard/JSONL metrics directory.")
+    p.add_argument("--config_file", type=str, default=None,
+                   help="JSON config (flat reference schema or nested).")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="Checkpoint directory (orbax).")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_seq_length", type=int, default=550)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="Restore the latest checkpoint before training.")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32).")
+    p.add_argument("--remat", action="store_true",
+                   help="Activation rematerialization (jax.checkpoint).")
+    p.add_argument("--smoke", action="store_true",
+                   help="Tiny synthetic run on CPU (sanity check).")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s: %(message)s",
+        level=logging.INFO, datefmt="%I:%M:%S",
+    )
+
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from prompt_tts_tpu.config import Config, ModelConfig, TrainConfig
+    from prompt_tts_tpu.data import CodeDataset, SyntheticDataset
+    from prompt_tts_tpu.train import Trainer
+
+    if args.config_file:
+        config = Config.from_json(args.config_file)
+    elif args.smoke:
+        config = Config(
+            model=ModelConfig(
+                block_out_channels=(32, 64, 64, 64), cross_attention_dim=64,
+                attention_head_dim=32, text_encoder_layers=1, cmu_seq_len=32,
+                sample_size=48, layers_per_block=1, unet_num_heads=4),
+            train=TrainConfig(batch_size=8, num_train_epochs=1,
+                              learning_rate=1e-3, lr_warmup_steps=0),
+        )
+    else:
+        config = Config()
+
+    if args.batch_size:
+        import dataclasses
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(
+                config.train, batch_size=args.batch_size))
+
+    if args.smoke:
+        dataset = SyntheticDataset(
+            n=16, frames=config.model.sample_size,
+            max_seq_length=config.model.cmu_seq_len)
+    else:
+        if not args.data_file:
+            raise SystemExit("--data_file is required (or use --smoke)")
+        dataset = CodeDataset(args.data_file,
+                              max_seq_length=args.max_seq_length)
+
+    trainer = Trainer(
+        config, dataset,
+        log_dir=args.log_dir,
+        ckpt_dir=args.ckpt_dir,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=args.remat,
+    )
+    if args.resume:
+        trainer.restore_latest()
+
+    loss = trainer.train(epochs=args.epochs)
+    logging.info("final loss: %f (step %d)", loss, trainer.global_step)
+    return loss
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Datasets over processed code tars + synthetic data for smoke tests.
+
+Corpus format matches the reference pipeline output
+(reference data_preparation/generate_code.py:54-86): an uncompressed tar
+holding, per utterance, ``<id>.npy`` (EnCodec codes ``[8, T]`` int),
+``<id>.len.txt`` (true frame count), ``<id>.txt`` and optionally
+``<id>.normalized.txt``.
+
+Differences from the reference loader (tts/dataloader.py:18-90), by design:
+* codes are kept as int16 in RAM (vs float64 after ``/1023``) — ~8x smaller;
+* batches come out channels-last ``[B, T, 8]`` float32 in [-1, 1]
+  (the combined ``c/1023`` + Normalize(0.5, 0.5) map, dataloader.py:64,
+  168-170, algebraically ``c * 2/1023 - 1``);
+* phonemization is done once at load via the static-shape Tokenizer.
+"""
+
+import io
+import tarfile
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from prompt_tts_tpu.frontend.tokenizer import Tokenizer
+
+_CODE_SCALE = 2.0 / 1023.0  # c/1023 then (x-0.5)/0.5
+
+
+class CodeDataset:
+    """In-RAM dataset over a processed code tar (LJSpeech-scale)."""
+
+    def __init__(self, tar_path: str, max_seq_length: int = 550,
+                 tokenizer: Optional[Tokenizer] = None):
+        self.max_seq_length = max_seq_length
+        tok = tokenizer or Tokenizer(max_len=max_seq_length)
+
+        self.codes: List[np.ndarray] = []
+        self.text_ids: List[np.ndarray] = []
+        self.text_mask: List[np.ndarray] = []
+        self.code_len: List[int] = []
+        self.texts: List[str] = []
+
+        with tarfile.open(tar_path, "r") as tf:
+            names = set(tf.getnames())
+            npy_names = sorted(n for n in names if n.endswith(".npy"))
+            for name in npy_names:
+                stem = name[: -len(".npy")]
+                code = np.load(io.BytesIO(tf.extractfile(name).read()))
+                if code.ndim != 2:
+                    raise ValueError(f"{name}: expected [n_q, T] codes")
+                text = tf.extractfile(stem + ".txt").read().decode()
+                norm_name = stem + ".normalized.txt"
+                text_norm = (tf.extractfile(norm_name).read().decode()
+                             if norm_name in names else text)
+                length = float(
+                    tf.extractfile(stem + ".len.txt").read().decode())
+
+                ids, mask = tok.encode(text_norm)
+                self.codes.append(code.astype(np.int16))
+                self.text_ids.append(ids)
+                self.text_mask.append(mask)
+                self.code_len.append(int(length))
+                self.texts.append(text)
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Fixed-shape numpy batches (static shapes for jit)."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        stop = n - batch_size + 1 if drop_last else n
+        for start in range(0, max(stop, 0), batch_size):
+            idx = order[start: start + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            yield self._collate(idx)
+
+    def _collate(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        codes = np.stack([self.codes[i] for i in idx])        # [B, 8, T]
+        codes = codes.astype(np.float32) * _CODE_SCALE - 1.0
+        return {
+            "codes": np.ascontiguousarray(codes.transpose(0, 2, 1)),
+            "text_ids": np.stack([self.text_ids[i] for i in idx]),
+            "text_mask": np.stack([self.text_mask[i] for i in idx]),
+            "code_len": np.asarray([self.code_len[i] for i in idx],
+                                   np.int32),
+        }
+
+
+class SyntheticDataset:
+    """Deterministic fake corpus for smoke tests and compile checks."""
+
+    def __init__(self, n: int = 64, frames: int = 900, n_q: int = 8,
+                 max_seq_length: int = 550, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.codes = rng.integers(
+            0, 1024, size=(n, n_q, frames)).astype(np.int16)
+        lens = rng.integers(8, max_seq_length // 2, size=n)
+        self.text_ids = np.zeros((n, max_seq_length), np.int32)
+        self.text_mask = np.zeros((n, max_seq_length), np.int32)
+        for i, ln in enumerate(lens):
+            self.text_ids[i, :ln] = rng.integers(1, 149, size=ln)
+            self.text_mask[i, :ln] = 1
+        self.code_len = np.full((n,), frames, np.int32)
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start: start + batch_size]
+            codes = self.codes[idx].astype(np.float32) * _CODE_SCALE - 1.0
+            yield {
+                "codes": np.ascontiguousarray(codes.transpose(0, 2, 1)),
+                "text_ids": self.text_ids[idx],
+                "text_mask": self.text_mask[idx],
+                "code_len": self.code_len[idx],
+            }

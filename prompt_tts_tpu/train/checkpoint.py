@@ -1,0 +1,72 @@
+"""Checkpointing with restore — orbax-backed, step-based.
+
+The reference saves rank-0 state_dicts per epoch but has NO load path at
+all (SURVEY.md §5: train.py:139-144, no restore anywhere).  Here both
+directions are first-class: async-capable orbax save of
+{params, opt_state, step} plus restore-latest for resumption.
+"""
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from prompt_tts_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 5,
+                 save_interval_steps: int = 1):
+        self._dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, state: TrainState, step: Optional[int] = None,
+             force: bool = False) -> bool:
+        step = int(state.step if step is None else step)
+        saved = self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(state.params),
+                opt_state=ocp.args.StandardSave(state.opt_state),
+            ),
+            force=force,
+        )
+        return bool(saved)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: TrainState,
+                step: Optional[int] = None) -> Tuple[TrainState, int]:
+        """Restore params/opt_state into ``state``; returns (state, step)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(state.params),
+                opt_state=ocp.args.StandardRestore(state.opt_state),
+            ),
+        )
+        state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=step,
+        )
+        return state, step
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,107 @@
+"""The training loop: epochs, SPMD step, metrics, checkpoints.
+
+Equivalent of reference train.py:21-147, restructured for SPMD: no process
+launcher, no DDP wrap, no gather/barrier — one jitted step over a device
+mesh; metrics are written rank-0-style by the single controller process.
+"""
+
+import logging
+import math
+import time
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from prompt_tts_tpu.config import Config
+from prompt_tts_tpu.diffusion.schedule import linear_schedule
+from prompt_tts_tpu.models import TTSSingleSpeaker
+from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
+from prompt_tts_tpu.train.checkpoint import CheckpointManager
+from prompt_tts_tpu.train.state import create_train_state
+from prompt_tts_tpu.train.step import jit_train_step, make_train_step
+from prompt_tts_tpu.utils.metrics import MetricsWriter
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    """Owns model/state/mesh and runs epochs over a dataset."""
+
+    def __init__(
+        self,
+        config: Config,
+        dataset,
+        log_dir: str,
+        ckpt_dir: Optional[str] = None,
+        mesh=None,
+        dtype=jnp.float32,
+        remat: bool = False,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = TTSSingleSpeaker(config.model, dtype=dtype)
+        self.schedule = linear_schedule(config.train.num_train_timesteps)
+        self.metrics = MetricsWriter(log_dir)
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+        tcfg = config.train
+        steps_per_epoch = math.ceil(len(dataset) / tcfg.batch_size)
+        self.num_training_steps = tcfg.num_train_epochs * steps_per_epoch
+
+        rng = jax.random.PRNGKey(tcfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        mcfg = config.model
+        init_batch = (
+            jnp.zeros((1, mcfg.sample_size, mcfg.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, mcfg.cmu_seq_len), jnp.int32),
+            jnp.ones((1, mcfg.cmu_seq_len), jnp.int32),
+        )
+        params = jax.jit(self.model.init)(init_rng, *init_batch)
+        self.state = create_train_state(
+            self.model, params, tcfg, self.num_training_steps)
+
+        self._step_fn = jit_train_step(
+            make_train_step(self.model.apply, self.schedule, remat=remat),
+            self.mesh,
+        )
+        self.global_step = 0
+
+    def restore_latest(self) -> Optional[int]:
+        if self.ckpt is None or self.ckpt.latest_step() is None:
+            return None
+        self.state, step = self.ckpt.restore(self.state)
+        self.global_step = step
+        log.info("restored checkpoint at step %d", step)
+        return step
+
+    def train(self, epochs: Optional[int] = None) -> float:
+        tcfg = self.config.train
+        epochs = tcfg.num_train_epochs if epochs is None else epochs
+        last_loss = float("nan")
+        for epoch in range(epochs):
+            log.info("Starting epoch %d", epoch)
+            t_epoch = time.time()
+            for batch in self.dataset.batches(
+                    tcfg.batch_size, shuffle=True, seed=tcfg.seed + epoch):
+                self.rng, step_rng = jax.random.split(self.rng)
+                sharded = shard_batch(batch, self.mesh)
+                self.state, m = self._step_fn(self.state, sharded, step_rng)
+                self.global_step += 1
+                last_loss = float(m["loss"])
+                self.metrics.add_scalar("Loss/train", last_loss,
+                                        self.global_step)
+                self.metrics.add_scalar("grad_norm", float(m["grad_norm"]),
+                                        self.global_step)
+            self.metrics.add_scalar("epoch_time_s", time.time() - t_epoch,
+                                    self.global_step)
+            if self.ckpt is not None and (
+                    epoch % tcfg.save_per_epochs == 0
+                    or epoch == epochs - 1):
+                self.ckpt.save(self.state, step=self.global_step, force=True)
+            self.metrics.flush()
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return last_loss

@@ -1,0 +1,57 @@
+"""Train state: params + optimizer chain matching the reference recipe.
+
+Optimizer (reference train.py:41-47, 116-117): AdamW lr 1e-5,
+betas (0.95, 0.999), eps 1e-8, weight decay 1e-6, global-norm clip 1.0.
+Gradient accumulation (reference train.py:27, 80) is ``optax.MultiSteps``.
+"""
+
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+from flax.training import train_state
+
+from prompt_tts_tpu.config import TrainConfig
+from prompt_tts_tpu.train.lr import get_schedule
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; ``apply_fn`` is model.apply."""
+
+
+def make_optimizer(
+    cfg: TrainConfig,
+    num_training_steps: int,
+) -> optax.GradientTransformation:
+    schedule = get_schedule(
+        cfg.lr_scheduler,
+        learning_rate=cfg.learning_rate,
+        num_warmup_steps=cfg.lr_warmup_steps,
+        num_training_steps=num_training_steps,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+def create_train_state(
+    model,
+    params,
+    cfg: TrainConfig,
+    num_training_steps: int,
+) -> TrainState:
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=make_optimizer(cfg, num_training_steps),
+    )

@@ -1,0 +1,158 @@
+"""Training tests: loss decreases, sharding over the 8-device CPU mesh,
+checkpoint save/restore round trip, LR schedules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prompt_tts_tpu.config import Config, ModelConfig, TrainConfig
+from prompt_tts_tpu.data import SyntheticDataset
+from prompt_tts_tpu.diffusion.schedule import linear_schedule
+from prompt_tts_tpu.models import TTSSingleSpeaker
+from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
+from prompt_tts_tpu.train import (
+    CheckpointManager,
+    Trainer,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+)
+from prompt_tts_tpu.train.lr import get_schedule
+
+TINY_MODEL = ModelConfig(
+    block_out_channels=(32, 64, 64, 64),
+    cross_attention_dim=64,
+    attention_head_dim=32,
+    text_encoder_layers=1,
+    cmu_seq_len=32,
+    sample_size=48,
+    layers_per_block=1,
+    unet_num_heads=4,
+)
+
+
+def tiny_config(**train_kw):
+    defaults = dict(learning_rate=1e-3, batch_size=8, num_train_epochs=1,
+                    lr_warmup_steps=0, lr_scheduler="constant")
+    defaults.update(train_kw)
+    return Config(model=TINY_MODEL, train=TrainConfig(**defaults))
+
+
+@pytest.fixture(scope="module")
+def synth_data():
+    return SyntheticDataset(n=16, frames=48, max_seq_length=32)
+
+
+class TestLRSchedules:
+    @pytest.mark.parametrize("name", [
+        "constant", "constant_with_warmup", "linear", "cosine",
+        "cosine_with_restarts", "polynomial",
+    ])
+    def test_schedule_shapes(self, name):
+        s = get_schedule(name, 1e-4, num_warmup_steps=10,
+                         num_training_steps=100)
+        vals = [float(s(i)) for i in [0, 5, 10, 50, 100]]
+        assert all(np.isfinite(v) and v >= 0 for v in vals)
+        if name != "constant":
+            assert vals[0] == 0.0 or vals[0] < 1e-4  # warming up
+        assert abs(float(s(10)) - 1e-4) < 1e-9  # warmup ends at peak
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            get_schedule("bogus", 1e-4)
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self, synth_data):
+        cfg = tiny_config()
+        mesh = make_mesh()
+        model = TTSSingleSpeaker(cfg.model)
+        sched = linear_schedule()
+        batch = next(synth_data.batches(8))
+        init_rng = jax.random.PRNGKey(0)
+        params = model.init(
+            init_rng,
+            jnp.asarray(batch["codes"][:1]), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(batch["text_ids"][:1]),
+            jnp.asarray(batch["text_mask"][:1]),
+        )
+        state = create_train_state(model, params, cfg.train, 1000)
+        step = jit_train_step(make_train_step(model.apply, sched), mesh)
+
+        sharded = shard_batch(batch, mesh)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(30):
+            # fixed rng -> identical noise each step: loss must drop
+            state, m = step(state, sharded, rng)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+    def test_batch_sharded_over_data_axis(self, synth_data):
+        mesh = make_mesh()
+        assert mesh.devices.shape == (8, 1)
+        batch = next(synth_data.batches(8))
+        sharded = shard_batch(batch, mesh)
+        # each of the 8 CPU devices holds 1 example
+        shard_shapes = {
+            s.device.id: s.data.shape
+            for s in sharded["codes"].addressable_shards
+        }
+        assert len(shard_shapes) == 8
+        assert all(shape[0] == 1 for shape in shard_shapes.values())
+
+    def test_grad_accumulation_steps(self, synth_data):
+        cfg = tiny_config(gradient_accumulation_steps=2)
+        mesh = make_mesh()
+        model = TTSSingleSpeaker(cfg.model)
+        sched = linear_schedule()
+        batch = next(synth_data.batches(8))
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["codes"][:1]), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(batch["text_ids"][:1]),
+            jnp.asarray(batch["text_mask"][:1]),
+        )
+        state = create_train_state(model, params, cfg.train, 1000)
+        step = jit_train_step(make_train_step(model.apply, sched), mesh)
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        sharded = shard_batch(batch, mesh)
+        # first micro-step: params must NOT change (accumulating)
+        state, _ = step(state, sharded, jax.random.PRNGKey(1))
+        p1 = jax.tree.leaves(state.params)[0]
+        np.testing.assert_array_equal(p0, p1)
+        # second micro-step: update applied
+        state, _ = step(state, sharded, jax.random.PRNGKey(2))
+        p2 = jax.tree.leaves(state.params)[0]
+        assert float(jnp.abs(p2 - p0).max()) > 0
+
+
+class TestTrainerAndCheckpoint:
+    def test_trainer_epoch_and_restore(self, synth_data, tmp_path):
+        cfg = tiny_config(num_train_epochs=1)
+        trainer = Trainer(
+            cfg, synth_data,
+            log_dir=str(tmp_path / "logs"),
+            ckpt_dir=str(tmp_path / "ckpt"),
+        )
+        loss = trainer.train(epochs=1)
+        assert np.isfinite(loss)
+        assert trainer.ckpt.latest_step() == trainer.global_step
+
+        # fresh trainer restores
+        trainer2 = Trainer(
+            cfg, synth_data,
+            log_dir=str(tmp_path / "logs2"),
+            ckpt_dir=str(tmp_path / "ckpt"),
+        )
+        restored = trainer2.restore_latest()
+        assert restored == trainer.global_step
+        a = jax.tree.leaves(trainer.state.params)[0]
+        b = jax.tree.leaves(trainer2.state.params)[0]
+        np.testing.assert_array_equal(a, b)
+
+        # metrics jsonl written
+        metrics = (tmp_path / "logs" / "metrics.jsonl").read_text()
+        assert "Loss/train" in metrics
