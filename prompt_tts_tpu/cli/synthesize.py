@@ -1,0 +1,91 @@
+"""Text -> 24 kHz wav: ``python -m prompt_tts_tpu.cli.synthesize``.
+
+The inference entry point the reference never shipped (SURVEY.md §2b: the
+sampler is absent from the repo).  Loads a trained model checkpoint (orbax)
+and codec weights (converted msgpack, see convert_codec), or runs with
+random weights for smoke purposes.
+"""
+
+import argparse
+import logging
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Synthesize speech from text.")
+    p.add_argument("--text", action="append", required=True,
+                   help="Text to speak (repeatable for a batch).")
+    p.add_argument("--out", type=str, required=True,
+                   help="Output wav path (index appended for batches).")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="Trained model checkpoint dir (orbax).")
+    p.add_argument("--codec_params", type=str, default=None,
+                   help="Converted codec weights (msgpack).")
+    p.add_argument("--config_file", type=str, default=None)
+    p.add_argument("--steps", type=int, default=50,
+                   help="DDIM inference steps.")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trim", action="store_true",
+                   help="Trim output to spoken length estimate.")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from prompt_tts_tpu.config import Config
+    from prompt_tts_tpu.pipeline import SAMPLE_RATE, Synthesizer
+    from prompt_tts_tpu.utils.wav import write_wav
+
+    config = Config.from_json(args.config_file) if args.config_file else None
+
+    model_params = None
+    if args.ckpt_dir:
+        import jax
+        import jax.numpy as jnp
+        from prompt_tts_tpu.models import TTSSingleSpeaker
+        from prompt_tts_tpu.train.checkpoint import CheckpointManager
+        from prompt_tts_tpu.train.state import create_train_state
+        from prompt_tts_tpu.config import Config as Cfg
+        cfg = config or Cfg()
+        model = TTSSingleSpeaker(cfg.model)
+        ids = jnp.zeros((1, cfg.model.cmu_seq_len), jnp.int32)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.model.sample_size, cfg.model.in_channels)),
+            jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
+        state = create_train_state(model, params, cfg.train, 1)
+        mgr = CheckpointManager(args.ckpt_dir)
+        state, step = mgr.restore(state)
+        logging.info("restored model checkpoint at step %d", step)
+        model_params = state.params
+        config = cfg
+
+    codec_params = None
+    if args.codec_params:
+        from prompt_tts_tpu.codec.io import load_codec_params
+        codec_params = load_codec_params(args.codec_params)
+        logging.info("loaded codec params from %s", args.codec_params)
+    else:
+        logging.warning(
+            "no --codec_params given: using RANDOM codec weights "
+            "(output will be noise; for pipeline smoke only)")
+
+    synth = Synthesizer(
+        config=config,
+        model_params=model_params,
+        codec_params=codec_params,
+        num_inference_steps=args.steps,
+    )
+    wavs = synth.synthesize(args.text, seed=args.seed)
+
+    base, ext = os.path.splitext(args.out)
+    for i, wav in enumerate(wavs):
+        path = args.out if len(wavs) == 1 else f"{base}_{i}{ext}"
+        write_wav(path, wav, SAMPLE_RATE)
+        logging.info("wrote %s (%.2f s)", path, len(wav) / SAMPLE_RATE)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""End-to-end synthesis: text -> phonemes -> DDIM denoising -> codec -> wav.
+
+The reference never composes this chain (it has no sampler and no
+inference entry point — SURVEY.md §3.4 note); here it is one object whose
+device path (denoise loop + code decode) is a single jitted program.
+
+Code normalization contract (reference tts/dataloader.py:64, 168-170):
+model latents live in [-1, 1] via ``c * 2/1023 - 1``; synthesis inverts
+with round + clip before codec decode.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prompt_tts_tpu.codec import EncodecCodec
+from prompt_tts_tpu.config import Config
+from prompt_tts_tpu.diffusion import ddim_sample, linear_schedule
+from prompt_tts_tpu.frontend.tokenizer import Tokenizer
+from prompt_tts_tpu.models import TTSSingleSpeaker
+
+SAMPLE_RATE = 24000
+
+
+def codes_to_latents(codes: jnp.ndarray) -> jnp.ndarray:
+    """int codes [B, n_q, T] -> model latents [B, T, n_q] in [-1, 1]."""
+    x = codes.astype(jnp.float32) * (2.0 / 1023.0) - 1.0
+    return x.transpose(0, 2, 1)
+
+
+def latents_to_codes(latents: jnp.ndarray) -> jnp.ndarray:
+    """model latents [B, T, n_q] -> int codes [B, n_q, T] in [0, 1023]."""
+    c = jnp.round((latents + 1.0) * (1023.0 / 2.0))
+    c = jnp.clip(c, 0, 1023).astype(jnp.int32)
+    return c.transpose(0, 2, 1)
+
+
+class CodecRunner:
+    """Codec-only encode/decode with jitted device programs.
+
+    Used standalone by the decode_codec / generate_codes tools (no TTS
+    model is built) and composed by :class:`Synthesizer`.
+    """
+
+    def __init__(self, codec_params=None):
+        self.codec = EncodecCodec(dtype=jnp.float32)
+        if codec_params is None:
+            codec_params = jax.jit(
+                lambda r: self.codec.init(r, jnp.zeros((1, 3200)), 6.0)
+            )(jax.random.PRNGKey(1))
+        self.codec_params = codec_params
+        self._decode = jax.jit(
+            lambda p, c: self.codec.apply(p, c, method=EncodecCodec.decode))
+        self._encode = jax.jit(
+            lambda p, w: self.codec.apply(p, w, 6.0,
+                                          method=EncodecCodec.encode))
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """int codes [B, n_q, T] -> wav [B, T*320] float32 @ 24 kHz."""
+        return np.asarray(self._decode(self.codec_params,
+                                       jnp.asarray(codes)))
+
+    def encode(self, wav: np.ndarray) -> np.ndarray:
+        """wav [B, T] @ 24 kHz -> int codes [B, 8, ceil(T/320)] (6 kbps)."""
+        return np.asarray(self._encode(self.codec_params, jnp.asarray(wav)))
+
+
+class Synthesizer:
+    """Owns model+codec params and the jitted text->wav program."""
+
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        model_params=None,
+        codec_params=None,
+        num_inference_steps: int = 50,
+        dtype=jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.config = config or Config()
+        mcfg = self.config.model
+        self.model = TTSSingleSpeaker(mcfg, dtype=dtype)
+        self._codec_runner = CodecRunner(codec_params)
+        self.codec = self._codec_runner.codec
+        self.schedule = linear_schedule(
+            self.config.train.num_train_timesteps)
+        self.tokenizer = Tokenizer(max_len=mcfg.cmu_seq_len)
+        self.num_inference_steps = num_inference_steps
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        if model_params is None:
+            ids = jnp.zeros((1, mcfg.cmu_seq_len), jnp.int32)
+            model_params = jax.jit(self.model.init)(
+                rng, jnp.zeros((1, mcfg.sample_size, mcfg.in_channels)),
+                jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
+        self.model_params = model_params
+        self.codec_params = self._codec_runner.codec_params
+
+        self._synth_fn = jax.jit(self._synthesize_device)
+
+    def _synthesize_device(self, model_params, codec_params, x_T, ids, mask):
+        def denoise(x, t):
+            return self.model.apply(model_params, x, t, ids, mask)
+
+        latents = ddim_sample(
+            denoise, self.schedule, x_T,
+            num_inference_steps=self.num_inference_steps)
+        codes = latents_to_codes(latents)
+        wav = self.codec.apply(codec_params, codes,
+                               method=EncodecCodec.decode)
+        return wav, codes
+
+    def synthesize(
+        self,
+        texts: Sequence[str],
+        seed: int = 0,
+        return_codes: bool = False,
+    ):
+        """texts -> float32 wav ``[B, frames*320]`` at 24 kHz."""
+        mcfg = self.config.model
+        ids, mask = self.tokenizer.encode_batch(list(texts))
+        x_T = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (len(texts), mcfg.sample_size, mcfg.in_channels))
+        wav, codes = self._synth_fn(
+            self.model_params, self.codec_params, x_T,
+            jnp.asarray(ids), jnp.asarray(mask))
+        wav = np.asarray(wav)
+        if return_codes:
+            return wav, np.asarray(codes)
+        return wav
+
+    def decode_codes(self, codes: np.ndarray) -> np.ndarray:
+        """int codes [B, n_q, T] -> wav (the decode_codec tool path)."""
+        return self._codec_runner.decode(codes)
+
+    def encode_audio(self, wav: np.ndarray) -> np.ndarray:
+        """wav [B, T] @24 kHz -> int codes [B, 8, ceil(T/320)] (6 kbps)."""
+        return self._codec_runner.encode(wav)

@@ -1,0 +1,77 @@
+"""Minimal WAV read/write (PCM16 / float32) in pure numpy.
+
+Replaces the reference's soundfile/torchaudio usage for the core paths
+(reference decode_codec.py:29-33, generate_code.py:25) — neither package is
+a dependency of this framework.
+"""
+
+import struct
+import wave
+from typing import Tuple
+
+import numpy as np
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
+    """Write mono/multichannel float audio in [-1, 1] as PCM16 WAV."""
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    pcm = np.clip(np.round(audio * 32767.0), -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+def read_wav(path_or_file) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 audio [T, C] in [-1, 1], sample_rate).
+
+    Supports PCM 8/16/24/32-bit and IEEE float32 (manual RIFF parse for the
+    float case, which the wave module rejects).
+    """
+    data = (open(path_or_file, "rb").read()
+            if isinstance(path_or_file, str) else path_or_file.read())
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 3 and bits == 32:          # IEEE float
+        audio = np.frombuffer(raw, "<f4").astype(np.float32)
+    elif audio_format in (1, 0xFFFE):             # PCM / extensible
+        if bits == 16:
+            audio = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            audio = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            audio = (np.frombuffer(raw, "u1").astype(np.float32) - 128) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, "u1").reshape(-1, 3)
+            vals = (b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16))
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            audio = vals.astype(np.float32) / float(1 << 23)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format {audio_format}")
+
+    audio = audio.reshape(-1, channels)
+    return audio, sample_rate
