@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=50,
                    help="DDIM inference steps.")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prompt_wav", type=str, default=None,
+                   help="Reference-audio prompt (24 kHz wav) for a "
+                        "prompt-conditioned (multi-speaker) model.")
     p.add_argument("--trim", action="store_true",
                    help="Trim output to spoken length estimate.")
     return p.parse_args(argv)
@@ -78,7 +81,17 @@ def main(argv=None):
         codec_params=codec_params,
         num_inference_steps=args.steps,
     )
-    wavs = synth.synthesize(args.text, seed=args.seed)
+    prompt_wav = None
+    if args.prompt_wav:
+        import numpy as np
+        from prompt_tts_tpu.utils.wav import read_wav
+        audio, sr = read_wav(args.prompt_wav)
+        if sr != SAMPLE_RATE:
+            from prompt_tts_tpu.utils.resample import resample
+            audio = resample(audio, sr, SAMPLE_RATE)
+        prompt_wav = np.tile(audio[None, :, 0], (len(args.text), 1))
+    wavs = synth.synthesize(args.text, seed=args.seed,
+                            prompt_wav=prompt_wav)
 
     base, ext = os.path.splitext(args.out)
     for i, wav in enumerate(wavs):

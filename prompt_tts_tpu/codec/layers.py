@@ -93,15 +93,21 @@ class CodecConvTranspose1d(nn.Module):
 
 
 class CodecLSTM(nn.Module):
-    """2-layer LSTM + residual, torch gate semantics, as ``lax.scan``.
+    """2-layer LSTM + residual, torch gate semantics.
 
     TPU shaping: the input projection ``x @ W_ih^T`` for ALL timesteps is
-    one big MXU matmul outside the scan; the scan body only carries the
-    ``[B, 4H] = h @ W_hh^T`` recurrence.
+    one big MXU matmul outside the recurrence.  On TPU the recurrence runs
+    as the fused Pallas kernel (weights VMEM-resident, one kernel for the
+    whole sequence — see prompt_tts_tpu.ops.pallas.lstm); elsewhere, or
+    when gradients are needed, it falls back to ``lax.scan``.
     """
 
     hidden: int
     num_layers: int = 2
+    # Experimental: the fused kernel is currently SLOWER than XLA's scan at
+    # this model's shapes (B=8, H=512: ~114us/step vs ~28us/step measured
+    # on v5e) — keep off until the kernel wins.
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,6 +115,7 @@ class CodecLSTM(nn.Module):
         residual = x
         B = x.shape[0]
         h_dim = self.hidden
+        on_tpu = jax.default_backend() == "tpu"
         for layer in range(self.num_layers):
             w_ih = self.param(
                 f"l{layer}_w_ih",
@@ -125,22 +132,27 @@ class CodecLSTM(nn.Module):
             x_proj = jnp.einsum(
                 "btc,gc->btg", x.astype(self.dtype), w_ih.astype(self.dtype),
                 preferred_element_type=jnp.float32) + b
+            x_proj_t = x_proj.astype(jnp.float32).transpose(1, 0, 2)
 
-            def step(carry, xp):
-                h, c = carry
-                gates = xp + h @ w_hh.T
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
-                           jax.nn.sigmoid(o))
-                g = jnp.tanh(g)
-                c = f * c + i * g
-                h = o * jnp.tanh(c)
-                return (h, c), h
+            if self.use_pallas and on_tpu:
+                from prompt_tts_tpu.ops.pallas.lstm import lstm_recurrence
+                # kernel gate layout is [i|f|g|o] contiguous — same as torch
+                hs = lstm_recurrence(x_proj_t, w_hh.T)
+            else:
+                def step(carry, xp):
+                    h, c = carry
+                    gates = xp + h @ w_hh.T
+                    i, f, g, o = jnp.split(gates, 4, axis=-1)
+                    i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
+                               jax.nn.sigmoid(o))
+                    g = jnp.tanh(g)
+                    c = f * c + i * g
+                    h = o * jnp.tanh(c)
+                    return (h, c), h
 
-            init = (jnp.zeros((B, h_dim), jnp.float32),
-                    jnp.zeros((B, h_dim), jnp.float32))
-            # scan over time: [T, B, 4H]
-            _, hs = jax.lax.scan(step, init, x_proj.transpose(1, 0, 2))
+                init = (jnp.zeros((B, h_dim), jnp.float32),
+                        jnp.zeros((B, h_dim), jnp.float32))
+                _, hs = jax.lax.scan(step, init, x_proj_t)
             x = hs.transpose(1, 0, 2)
         return x + residual
 

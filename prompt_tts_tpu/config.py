@@ -61,6 +61,16 @@ class ModelConfig:
     freq_shift: int = 0
     dropout: float = 0.0
 
+    # --- prompt conditioning (multi-speaker; BASELINE config #5) ---
+    # The reference's class_embed_type plumbing (unet_1d_condition.py:229-256)
+    # is the hook; here a reference-audio prompt encoder feeds BOTH a global
+    # speaker embedding (added to the time embedding) and prompt tokens
+    # concatenated to the cross-attention context.
+    prompt_conditioning: bool = False
+    prompt_frames: int = 225          # 3 s of codes @ 75 Hz
+    prompt_encoder_layers: int = 2
+    prompt_tokens: int = 32           # pooled prompt tokens fed to cross-attn
+
     def __post_init__(self):
         if self.cmu_vocab_len < 149:
             raise ValueError("cmu_vocab_len must cover 148 symbols + sep id")

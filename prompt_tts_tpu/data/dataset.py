@@ -26,11 +26,19 @@ _CODE_SCALE = 2.0 / 1023.0  # c/1023 then (x-0.5)/0.5
 
 
 class CodeDataset:
-    """In-RAM dataset over a processed code tar (LJSpeech-scale)."""
+    """In-RAM dataset over a processed code tar (LJSpeech-scale).
+
+    ``prompt_frames``: when set, each batch carries a ``prompt`` key — a
+    random same-utterance crop of the normalized code latents
+    ``[B, prompt_frames, n_q]`` for prompt-conditioned (multi-speaker)
+    training.
+    """
 
     def __init__(self, tar_path: str, max_seq_length: int = 550,
-                 tokenizer: Optional[Tokenizer] = None):
+                 tokenizer: Optional[Tokenizer] = None,
+                 prompt_frames: Optional[int] = None):
         self.max_seq_length = max_seq_length
+        self.prompt_frames = prompt_frames
         tok = tokenizer or Tokenizer(max_len=max_seq_length)
 
         self.codes: List[np.ndarray] = []
@@ -86,20 +94,47 @@ class CodeDataset:
     def _collate(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         codes = np.stack([self.codes[i] for i in idx])        # [B, 8, T]
         codes = codes.astype(np.float32) * _CODE_SCALE - 1.0
-        return {
-            "codes": np.ascontiguousarray(codes.transpose(0, 2, 1)),
+        latents = np.ascontiguousarray(codes.transpose(0, 2, 1))
+        batch = {
+            "codes": latents,
             "text_ids": np.stack([self.text_ids[i] for i in idx]),
             "text_mask": np.stack([self.text_mask[i] for i in idx]),
             "code_len": np.asarray([self.code_len[i] for i in idx],
                                    np.int32),
         }
+        if self.prompt_frames:
+            batch["prompt"] = _crop_prompts(
+                latents,
+                np.asarray([self.code_len[i] for i in idx]),
+                self.prompt_frames)
+        return batch
+
+
+def _crop_prompts(latents: np.ndarray, lengths: np.ndarray,
+                  prompt_frames: int, seed: int = 0) -> np.ndarray:
+    """Random same-utterance crops ``[B, prompt_frames, n_q]``.
+
+    Crops stay inside the true (unpadded) frame span when possible.
+    """
+    B, T, _ = latents.shape
+    rng = np.random.default_rng(seed + int(lengths.sum()))
+    out = np.zeros((B, prompt_frames, latents.shape[-1]), np.float32)
+    for i in range(B):
+        span = min(int(lengths[i]), T)
+        hi = max(span - prompt_frames, 0)
+        start = int(rng.integers(0, hi + 1))
+        chunk = latents[i, start: start + prompt_frames]
+        out[i, : chunk.shape[0]] = chunk
+    return out
 
 
 class SyntheticDataset:
     """Deterministic fake corpus for smoke tests and compile checks."""
 
     def __init__(self, n: int = 64, frames: int = 900, n_q: int = 8,
-                 max_seq_length: int = 550, seed: int = 0):
+                 max_seq_length: int = 550, seed: int = 0,
+                 prompt_frames=None):
+        self.prompt_frames = prompt_frames
         rng = np.random.default_rng(seed)
         self.codes = rng.integers(
             0, 1024, size=(n, n_q, frames)).astype(np.int16)
@@ -123,9 +158,14 @@ class SyntheticDataset:
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start: start + batch_size]
             codes = self.codes[idx].astype(np.float32) * _CODE_SCALE - 1.0
-            yield {
-                "codes": np.ascontiguousarray(codes.transpose(0, 2, 1)),
+            latents = np.ascontiguousarray(codes.transpose(0, 2, 1))
+            batch = {
+                "codes": latents,
                 "text_ids": self.text_ids[idx],
                 "text_mask": self.text_mask[idx],
                 "code_len": self.code_len[idx],
             }
+            if self.prompt_frames:
+                batch["prompt"] = _crop_prompts(
+                    latents, self.code_len[idx], self.prompt_frames)
+            yield batch

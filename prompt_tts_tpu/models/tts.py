@@ -6,9 +6,11 @@ cross-attention site of the UNet.  Parity quirk kept: the padded-text mask
 gates the text encoder's SELF-attention only — the UNet cross-attention
 runs unmasked, exactly as in the reference (unet_blocks.py:393-398).
 
+``encode_text`` / ``denoise`` are exposed separately so samplers can hoist
+the (loop-invariant) text encoding out of the denoising scan — the text
+encoder runs ONCE per utterance, not once per diffusion step.
+
 Layout note: this model is channels-last — ``sample`` is ``[B, T, C]``.
-The data layer produces that layout natively; transpose reference-style
-``[B, C, T]`` arrays once at the boundary if needed.
 """
 
 import flax.linen as nn
@@ -23,17 +25,9 @@ class TTSSingleSpeaker(nn.Module):
     config: ModelConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        sample: jnp.ndarray,          # [B, T, in_channels] noisy codes
-        timesteps: jnp.ndarray,       # [B] int
-        text_seq_ids: jnp.ndarray,    # [B, S] int
-        attention_mask: jnp.ndarray,  # [B, S] 0/1
-        deterministic: bool = True,
-    ) -> jnp.ndarray:                 # [B, T, out_channels] eps prediction
+    def setup(self):
         cfg = self.config
-        context = TextEncoder(
+        self.text_encoder = TextEncoder(
             vocab_len=cfg.cmu_vocab_len,
             seq_len=cfg.cmu_seq_len,
             dim=cfg.cross_attention_dim,
@@ -41,9 +35,37 @@ class TTSSingleSpeaker(nn.Module):
             dropout=cfg.text_encoder_dropout,
             num_layers=cfg.text_encoder_layers,
             dtype=self.dtype,
-            name="text_encoder",
-        )(text_seq_ids, attention_mask, deterministic=deterministic)
-
-        return UNet1DCondition(cfg, dtype=self.dtype, name="unet")(
-            sample, timesteps, context, deterministic=deterministic
         )
+        self.unet = UNet1DCondition(cfg, dtype=self.dtype)
+
+    def encode_text(
+        self,
+        text_seq_ids: jnp.ndarray,    # [B, S] int
+        attention_mask: jnp.ndarray,  # [B, S] 0/1
+        deterministic: bool = True,
+    ) -> jnp.ndarray:                 # [B, S, cross_dim]
+        return self.text_encoder(text_seq_ids, attention_mask,
+                                 deterministic=deterministic)
+
+    def denoise(
+        self,
+        sample: jnp.ndarray,          # [B, T, in_channels]
+        timesteps: jnp.ndarray,       # [B] int
+        context: jnp.ndarray,         # [B, S, cross_dim]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        return self.unet(sample, timesteps, context,
+                         deterministic=deterministic)
+
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        text_seq_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:                 # [B, T, out_channels] eps prediction
+        context = self.encode_text(text_seq_ids, attention_mask,
+                                   deterministic=deterministic)
+        return self.denoise(sample, timesteps, context,
+                            deterministic=deterministic)

@@ -324,13 +324,15 @@ class UNet1DCondition(nn.Module):
         sample: jnp.ndarray,     # [B, T, in_channels]
         timesteps: jnp.ndarray,  # [B] int
         context: jnp.ndarray,    # [B, S, cross_dim]
+        class_emb: Optional[jnp.ndarray] = None,  # [B, 4*chans[0]]
         deterministic: bool = True,
     ) -> jnp.ndarray:            # [B, T, out_channels]
         cfg = self.config
         chans = cfg.block_out_channels
         n_blocks = len(chans)
 
-        # 1. time conditioning
+        # 1. time conditioning (+ optional class/speaker embedding, the
+        # reference's class_embed hook: unet_1d_condition.py:634-646)
         t_feat = timestep_embedding(
             timesteps, chans[0],
             flip_sin_to_cos=cfg.flip_sin_to_cos,
@@ -338,6 +340,8 @@ class UNet1DCondition(nn.Module):
         ).astype(self.dtype)
         temb = TimestepEmbedding(chans[0] * 4, dtype=self.dtype,
                                  name="time_embedding")(t_feat)
+        if class_emb is not None:
+            temb = temb + class_emb.astype(temb.dtype)
 
         # 2. input projection
         x = Conv1d(chans[0], 3, dtype=self.dtype, name="conv_in")(sample)

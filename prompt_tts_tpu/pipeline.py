@@ -19,7 +19,7 @@ from prompt_tts_tpu.codec import EncodecCodec
 from prompt_tts_tpu.config import Config
 from prompt_tts_tpu.diffusion import ddim_sample, linear_schedule
 from prompt_tts_tpu.frontend.tokenizer import Tokenizer
-from prompt_tts_tpu.models import TTSSingleSpeaker
+from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
 
 SAMPLE_RATE = 24000
 
@@ -81,7 +81,9 @@ class Synthesizer:
     ):
         self.config = config or Config()
         mcfg = self.config.model
-        self.model = TTSSingleSpeaker(mcfg, dtype=dtype)
+        self._prompted = mcfg.prompt_conditioning
+        model_cls = TTSPromptSpeaker if self._prompted else TTSSingleSpeaker
+        self.model = model_cls(mcfg, dtype=dtype)
         self._codec_runner = CodecRunner(codec_params)
         self.codec = self._codec_runner.codec
         self.schedule = linear_schedule(
@@ -92,17 +94,37 @@ class Synthesizer:
 
         if model_params is None:
             ids = jnp.zeros((1, mcfg.cmu_seq_len), jnp.int32)
-            model_params = jax.jit(self.model.init)(
-                rng, jnp.zeros((1, mcfg.sample_size, mcfg.in_channels)),
+            init_args = (
+                jnp.zeros((1, mcfg.sample_size, mcfg.in_channels)),
                 jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
+            if self._prompted:
+                init_args = init_args + (
+                    jnp.zeros((1, mcfg.prompt_frames, mcfg.in_channels)),)
+            model_params = jax.jit(self.model.init)(rng, *init_args)
         self.model_params = model_params
         self.codec_params = self._codec_runner.codec_params
 
         self._synth_fn = jax.jit(self._synthesize_device)
 
-    def _synthesize_device(self, model_params, codec_params, x_T, ids, mask):
-        def denoise(x, t):
-            return self.model.apply(model_params, x, t, ids, mask)
+    def _synthesize_device(self, model_params, codec_params, x_T, ids, mask,
+                           prompt=None):
+        # conditioning is loop-invariant: compute it ONCE, not per DDIM step
+        if self._prompted:
+            context, speaker = self.model.apply(
+                model_params, ids, mask, prompt,
+                method=TTSPromptSpeaker.encode_conditioning)
+
+            def denoise(x, t):
+                return self.model.apply(
+                    model_params, x, t, context, speaker,
+                    method=TTSPromptSpeaker.denoise)
+        else:
+            context = self.model.apply(model_params, ids, mask,
+                                       method=TTSSingleSpeaker.encode_text)
+
+            def denoise(x, t):
+                return self.model.apply(model_params, x, t, context,
+                                        method=TTSSingleSpeaker.denoise)
 
         latents = ddim_sample(
             denoise, self.schedule, x_T,
@@ -117,16 +139,37 @@ class Synthesizer:
         texts: Sequence[str],
         seed: int = 0,
         return_codes: bool = False,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_codes: Optional[np.ndarray] = None,
     ):
-        """texts -> float32 wav ``[B, frames*320]`` at 24 kHz."""
+        """texts -> float32 wav ``[B, frames*320]`` at 24 kHz.
+
+        For a prompt-conditioned model, pass either ``prompt_wav``
+        ``[B, Tsamples]`` @ 24 kHz (encoded on the fly) or ``prompt_codes``
+        ``[B, n_q, Tp]`` int.
+        """
         mcfg = self.config.model
         ids, mask = self.tokenizer.encode_batch(list(texts))
         x_T = jax.random.normal(
             jax.random.PRNGKey(seed),
             (len(texts), mcfg.sample_size, mcfg.in_channels))
-        wav, codes = self._synth_fn(
-            self.model_params, self.codec_params, x_T,
-            jnp.asarray(ids), jnp.asarray(mask))
+        args = [self.model_params, self.codec_params, x_T,
+                jnp.asarray(ids), jnp.asarray(mask)]
+        if self._prompted:
+            if prompt_codes is None:
+                if prompt_wav is None:
+                    raise ValueError(
+                        "prompt-conditioned model needs prompt_wav or "
+                        "prompt_codes")
+                prompt_codes = self._codec_runner.encode(prompt_wav)
+            prompt = np.asarray(codes_to_latents(jnp.asarray(prompt_codes)))
+            # pad/crop to the static prompt length
+            Tp = mcfg.prompt_frames
+            fixed = np.zeros((prompt.shape[0], Tp, prompt.shape[2]),
+                             np.float32)
+            fixed[:, : min(Tp, prompt.shape[1])] = prompt[:, :Tp]
+            args.append(jnp.asarray(fixed))
+        wav, codes = self._synth_fn(*args)
         wav = np.asarray(wav)
         if return_codes:
             return wav, np.asarray(codes)

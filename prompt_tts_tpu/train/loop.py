@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from prompt_tts_tpu.config import Config
 from prompt_tts_tpu.diffusion.schedule import linear_schedule
-from prompt_tts_tpu.models import TTSSingleSpeaker
+from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
 from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
 from prompt_tts_tpu.train.checkpoint import CheckpointManager
 from prompt_tts_tpu.train.state import create_train_state
@@ -41,7 +41,9 @@ class Trainer:
         self.config = config
         self.dataset = dataset
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = TTSSingleSpeaker(config.model, dtype=dtype)
+        model_cls = (TTSPromptSpeaker if config.model.prompt_conditioning
+                     else TTSSingleSpeaker)
+        self.model = model_cls(config.model, dtype=dtype)
         self.schedule = linear_schedule(config.train.num_train_timesteps)
         self.metrics = MetricsWriter(log_dir)
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
@@ -59,6 +61,9 @@ class Trainer:
             jnp.zeros((1, mcfg.cmu_seq_len), jnp.int32),
             jnp.ones((1, mcfg.cmu_seq_len), jnp.int32),
         )
+        if mcfg.prompt_conditioning:
+            init_batch = init_batch + (
+                jnp.zeros((1, mcfg.prompt_frames, mcfg.in_channels)),)
         params = jax.jit(self.model.init)(init_rng, *init_batch)
         self.state = create_train_state(
             self.model, params, tcfg, self.num_training_steps)

@@ -48,8 +48,11 @@ def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
         timesteps = jax.random.randint(
             rng_t, (B,), 0, schedule.num_train_timesteps, dtype=jnp.int32)
         noisy = add_noise(schedule, codes, noise, timesteps)
+        cond = (noisy, timesteps, batch["text_ids"], batch["text_mask"])
+        if "prompt" in batch:  # prompt-conditioned (multi-speaker) model
+            cond = cond + (batch["prompt"],)
         pred = model_fn(
-            params, noisy, timesteps, batch["text_ids"], batch["text_mask"],
+            params, *cond,
             deterministic=False, rngs={"dropout": rng_drop},
         )
         loss = jnp.mean(
