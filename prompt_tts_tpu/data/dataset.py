@@ -15,14 +15,42 @@ Differences from the reference loader (tts/dataloader.py:18-90), by design:
 """
 
 import io
+import queue
 import tarfile
+import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
+from prompt_tts_tpu.data import native
 from prompt_tts_tpu.frontend.tokenizer import Tokenizer
 
 _CODE_SCALE = 2.0 / 1023.0  # c/1023 then (x-0.5)/0.5
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run ``iterator`` in a background thread, ``depth`` items ahead.
+
+    Host-side double buffering: batch collation overlaps device compute
+    (the thread releases the GIL in the native collate / numpy copies).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
 
 
 class CodeDataset:
@@ -93,8 +121,8 @@ class CodeDataset:
 
     def _collate(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         codes = np.stack([self.codes[i] for i in idx])        # [B, 8, T]
-        codes = codes.astype(np.float32) * _CODE_SCALE - 1.0
-        latents = np.ascontiguousarray(codes.transpose(0, 2, 1))
+        # native multithreaded normalize+transpose (numpy fallback inside)
+        latents = native.collate_codes(codes)
         batch = {
             "codes": latents,
             "text_ids": np.stack([self.text_ids[i] for i in idx]),
