@@ -103,6 +103,10 @@ class TrainConfig:
     batch_size: int = 32
     num_train_timesteps: int = 1000
     seed: int = 0
+    # classifier-free guidance: per-sample probability of dropping the text
+    # conditioning during training (0 = reference behavior, train.py has
+    # no CFG). Enables guidance_scale > 1 at sampling time.
+    cond_dropout_prob: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -76,9 +76,13 @@ class Synthesizer:
         model_params=None,
         codec_params=None,
         num_inference_steps: int = 50,
+        guidance_scale: float = 1.0,
         dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
     ):
+        # guidance_scale > 1 enables classifier-free guidance (the model
+        # should have been trained with train.cond_dropout_prob > 0)
+        self.guidance_scale = float(guidance_scale)
         self.config = config or Config()
         mcfg = self.config.model
         self._prompted = mcfg.prompt_conditioning
@@ -118,6 +122,24 @@ class Synthesizer:
                 return self.model.apply(
                     model_params, x, t, context, speaker,
                     method=TTSPromptSpeaker.denoise)
+        elif self.guidance_scale != 1.0:
+            # classifier-free guidance: batch the conditional and
+            # unconditional (null-text) passes through one UNet call
+            context = self.model.apply(model_params, ids, mask,
+                                       method=TTSSingleSpeaker.encode_text)
+            null_ctx = self.model.apply(
+                model_params, jnp.zeros_like(ids), jnp.zeros_like(mask),
+                method=TTSSingleSpeaker.encode_text)
+            ctx2 = jnp.concatenate([context, null_ctx], axis=0)
+            s = self.guidance_scale
+
+            def denoise(x, t):
+                eps2 = self.model.apply(
+                    model_params, jnp.concatenate([x, x], axis=0),
+                    jnp.concatenate([t, t], axis=0), ctx2,
+                    method=TTSSingleSpeaker.denoise)
+                eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+                return eps_u + s * (eps_c - eps_u)
         else:
             context = self.model.apply(model_params, ids, mask,
                                        method=TTSSingleSpeaker.encode_text)

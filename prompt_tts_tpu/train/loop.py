@@ -20,6 +20,7 @@ from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
 from prompt_tts_tpu.train.checkpoint import CheckpointManager
 from prompt_tts_tpu.train.state import create_train_state
 from prompt_tts_tpu.train.step import jit_train_step, make_train_step
+from prompt_tts_tpu.utils.debug import finite_or_warn
 from prompt_tts_tpu.utils.metrics import MetricsWriter
 
 log = logging.getLogger(__name__)
@@ -37,7 +38,12 @@ class Trainer:
         mesh=None,
         dtype=jnp.float32,
         remat: bool = False,
+        profile_steps: int = 0,
     ):
+        # profile_steps > 0: capture a jax.profiler trace of that many steps
+        # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
+        # unsupported over tunneled single-chip dev setups).
+        self.profile_steps = profile_steps
         self.config = config
         self.dataset = dataset
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -69,7 +75,8 @@ class Trainer:
             self.model, params, tcfg, self.num_training_steps)
 
         self._step_fn = jit_train_step(
-            make_train_step(self.model.apply, self.schedule, remat=remat),
+            make_train_step(self.model.apply, self.schedule, remat=remat,
+                            cond_dropout_prob=tcfg.cond_dropout_prob),
             self.mesh,
         )
         self.global_step = 0
@@ -93,12 +100,26 @@ class Trainer:
                     tcfg.batch_size, shuffle=True, seed=tcfg.seed + epoch):
                 self.rng, step_rng = jax.random.split(self.rng)
                 sharded = shard_batch(batch, self.mesh)
+                if (self.profile_steps
+                        and self.global_step == 2):  # skip compile steps
+                    import os
+                    trace_dir = os.path.join(self.metrics._log_dir, "xprof")
+                    jax.profiler.start_trace(trace_dir)
                 self.state, m = self._step_fn(self.state, sharded, step_rng)
                 self.global_step += 1
+                if (self.profile_steps
+                        and self.global_step == 2 + self.profile_steps):
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace written")
                 last_loss = float(m["loss"])
+                metrics_now = {"loss": last_loss,
+                               "grad_norm": float(m["grad_norm"])}
+                finite_or_warn(metrics_now, self.global_step, log)
                 self.metrics.add_scalar("Loss/train", last_loss,
                                         self.global_step)
-                self.metrics.add_scalar("grad_norm", float(m["grad_norm"]),
+                self.metrics.add_scalar("grad_norm",
+                                        metrics_now["grad_norm"],
                                         self.global_step)
             self.metrics.add_scalar("epoch_time_s", time.time() - t_epoch,
                                     self.global_step)

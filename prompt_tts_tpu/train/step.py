@@ -27,10 +27,13 @@ from prompt_tts_tpu.train.state import TrainState
 
 
 def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
-                 remat: bool = False) -> Callable:
+                 remat: bool = False,
+                 cond_dropout_prob: float = 0.0) -> Callable:
     """Build the DDPM epsilon-MSE loss over one batch.
 
     Batch: ``codes [B,T,C]`` in [-1,1], ``text_ids [B,S]``, ``mask [B,S]``.
+    ``cond_dropout_prob`` > 0 randomly nulls the text conditioning per
+    sample (classifier-free guidance training).
     """
     model_fn = apply_fn
     if remat:
@@ -43,12 +46,19 @@ def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
     def loss_fn(params, batch, rng):
         codes = batch["codes"]
         B = codes.shape[0]
-        rng_noise, rng_t, rng_drop = jax.random.split(rng, 3)
+        rng_noise, rng_t, rng_drop, rng_cfg = jax.random.split(rng, 4)
         noise = jax.random.normal(rng_noise, codes.shape, codes.dtype)
         timesteps = jax.random.randint(
             rng_t, (B,), 0, schedule.num_train_timesteps, dtype=jnp.int32)
         noisy = add_noise(schedule, codes, noise, timesteps)
-        cond = (noisy, timesteps, batch["text_ids"], batch["text_mask"])
+        text_ids = batch["text_ids"]
+        text_mask = batch["text_mask"]
+        if cond_dropout_prob > 0.0:
+            drop = jax.random.bernoulli(
+                rng_cfg, cond_dropout_prob, (B, 1))
+            text_ids = jnp.where(drop, jnp.zeros_like(text_ids), text_ids)
+            text_mask = jnp.where(drop, jnp.zeros_like(text_mask), text_mask)
+        cond = (noisy, timesteps, text_ids, text_mask)
         if "prompt" in batch:  # prompt-conditioned (multi-speaker) model
             cond = cond + (batch["prompt"],)
         pred = model_fn(
@@ -66,9 +76,11 @@ def make_train_step(
     apply_fn: Callable,
     schedule: DiffusionSchedule,
     remat: bool = False,
+    cond_dropout_prob: float = 0.0,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Un-jitted train step; jit/shard with :func:`jit_train_step`."""
-    loss_fn = make_loss_fn(apply_fn, schedule, remat=remat)
+    loss_fn = make_loss_fn(apply_fn, schedule, remat=remat,
+                           cond_dropout_prob=cond_dropout_prob)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
@@ -91,17 +103,23 @@ def optax_global_norm(tree) -> jnp.ndarray:
 def jit_train_step(
     train_step: Callable,
     mesh: Mesh,
+    state_sharding=None,
 ) -> Callable:
-    """Jit with explicit shardings: replicated state/rng, data-sharded batch.
+    """Jit with explicit shardings: data-sharded batch, replicated rng.
 
-    Donates the state so optimizer buffers update in place (no HBM copy).
+    ``state_sharding``: None replicates the TrainState (pure data
+    parallelism); pass ``parallel.tp.state_shardings(state, mesh)`` to
+    shard params+moments over the ``model`` axis (tensor parallelism) —
+    GSPMD then inserts the TP collectives over ICI.  Donates the state so
+    optimizer buffers update in place.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = repl if state_sharding is None else state_sharding
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
 
