@@ -29,7 +29,8 @@ def parse_args(argv=None):
                    help="Reference-audio prompt (24 kHz wav) for a "
                         "prompt-conditioned (multi-speaker) model.")
     p.add_argument("--trim", action="store_true",
-                   help="Trim output to spoken length estimate.")
+                   help="Trim trailing silence (energy-based; the model "
+                        "always generates the full padded duration).")
     return p.parse_args(argv)
 
 
@@ -95,9 +96,27 @@ def main(argv=None):
 
     base, ext = os.path.splitext(args.out)
     for i, wav in enumerate(wavs):
+        if args.trim:
+            wav = _trim_trailing_silence(wav)
         path = args.out if len(wavs) == 1 else f"{base}_{i}{ext}"
         write_wav(path, wav, SAMPLE_RATE)
         logging.info("wrote %s (%.2f s)", path, len(wav) / SAMPLE_RATE)
+
+
+def _trim_trailing_silence(wav, frame: int = 1024, threshold_db: float = -40.0):
+    """Drop trailing frames whose RMS is below ``threshold_db`` of peak."""
+    import numpy as np
+    n = (len(wav) // frame) * frame
+    if n == 0:
+        return wav
+    frames = np.asarray(wav[:n]).reshape(-1, frame)
+    rms = np.sqrt((frames ** 2).mean(axis=1) + 1e-12)
+    floor = rms.max() * (10.0 ** (threshold_db / 20.0))
+    active = np.nonzero(rms > floor)[0]
+    if len(active) == 0:
+        return wav
+    end = min(len(wav), (active[-1] + 2) * frame)
+    return wav[:end]
 
 
 if __name__ == "__main__":

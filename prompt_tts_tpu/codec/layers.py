@@ -152,7 +152,9 @@ class CodecLSTM(nn.Module):
 
                 init = (jnp.zeros((B, h_dim), jnp.float32),
                         jnp.zeros((B, h_dim), jnp.float32))
-                _, hs = jax.lax.scan(step, init, x_proj_t)
+                # unroll amortizes the while-loop fixed cost per step (the
+                # recurrence is latency-bound: tiny [B,4H] matmuls)
+                _, hs = jax.lax.scan(step, init, x_proj_t, unroll=8)
             x = hs.transpose(1, 0, 2)
         return x + residual
 

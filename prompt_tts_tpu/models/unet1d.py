@@ -47,6 +47,9 @@ def _nearest_resize(x: jnp.ndarray, target_len: int) -> jnp.ndarray:
     t_in = x.shape[1]
     if t_in == target_len:
         return x
+    if target_len == 2 * t_in:
+        # exact 2x: repeat is cheaper than a gather and torch-identical
+        return jnp.repeat(x, 2, axis=1)
     idx = (jnp.arange(target_len) * t_in) // target_len
     return x[:, idx, :]
 

@@ -1,0 +1,59 @@
+"""CLI surface tests: argument parsing, error paths, trim helper."""
+
+import numpy as np
+import pytest
+
+
+class TestArgParsing:
+    def test_train_args(self):
+        from prompt_tts_tpu.cli.train import parse_args
+        a = parse_args(["--smoke", "--log_dir", "/tmp/x"])
+        assert a.smoke and a.log_dir == "/tmp/x"
+        assert a.max_seq_length == 550  # reference default
+
+    def test_synthesize_requires_text_and_out(self):
+        from prompt_tts_tpu.cli.synthesize import parse_args
+        with pytest.raises(SystemExit):
+            parse_args([])
+        a = parse_args(["--text", "hi", "--text", "there", "--out", "o.wav"])
+        assert a.text == ["hi", "there"]
+        assert a.steps == 50
+
+    def test_decode_codec_args(self):
+        from prompt_tts_tpu.cli.decode_codec import parse_args
+        a = parse_args(["--npy_path", "c.npy", "--cpu"])
+        assert a.npy_path == "c.npy" and a.cpu
+
+    def test_generate_codes_defaults_match_reference(self):
+        from prompt_tts_tpu.cli.generate_codes import parse_args
+        a = parse_args(["--input_file", "x.tar"])
+        assert a.batch_size == 32      # reference generate_code.py default
+        assert a.max_duration == 12    # reference default -> 900 frames
+
+    def test_serve_args(self):
+        from prompt_tts_tpu.cli.serve import parse_args
+        a = parse_args(["--port", "9000", "--max_batch", "4"])
+        assert a.port == 9000 and a.max_batch == 4
+
+
+class TestTrimHelper:
+    def test_trims_trailing_silence(self):
+        from prompt_tts_tpu.cli.synthesize import _trim_trailing_silence
+        sr = 24000
+        speech = np.sin(np.arange(sr) * 0.05).astype(np.float32)
+        silence = np.zeros(sr, np.float32)
+        wav = np.concatenate([speech, silence])
+        out = _trim_trailing_silence(wav)
+        assert len(out) < len(wav)
+        assert len(out) >= len(speech)
+
+    def test_all_silence_untouched(self):
+        from prompt_tts_tpu.cli.synthesize import _trim_trailing_silence
+        wav = np.zeros(24000, np.float32)
+        out = _trim_trailing_silence(wav)
+        assert len(out) == len(wav)  # nothing active -> no trim
+
+    def test_short_input(self):
+        from prompt_tts_tpu.cli.synthesize import _trim_trailing_silence
+        wav = np.ones(100, np.float32)
+        assert len(_trim_trailing_silence(wav)) == 100
