@@ -19,6 +19,9 @@ def parse_args(argv=None):
                    help="Output wav path (index appended for batches).")
     p.add_argument("--ckpt_dir", type=str, default=None,
                    help="Trained model checkpoint dir (orbax).")
+    p.add_argument("--ref_ckpt", type=str, default=None,
+                   help="Reference torch checkpoint (ckpt_N.pt from the "
+                        "original repo's train.py) — converted on the fly.")
     p.add_argument("--codec_params", type=str, default=None,
                    help="Converted codec weights (msgpack).")
     p.add_argument("--config_file", type=str, default=None)
@@ -45,7 +48,11 @@ def main(argv=None):
     config = Config.from_json(args.config_file) if args.config_file else None
 
     model_params = None
-    if args.ckpt_dir:
+    if args.ref_ckpt:
+        from prompt_tts_tpu.models.convert import load_reference_checkpoint
+        model_params = load_reference_checkpoint(args.ref_ckpt)
+        logging.info("converted reference checkpoint %s", args.ref_ckpt)
+    elif args.ckpt_dir:
         import jax
         import jax.numpy as jnp
         from prompt_tts_tpu.models import TTSSingleSpeaker

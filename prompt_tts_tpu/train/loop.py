@@ -90,6 +90,18 @@ class Trainer:
         return step
 
     def train(self, epochs: Optional[int] = None) -> float:
+        """Run the epoch loop; Ctrl-C checkpoints before exiting."""
+        try:
+            return self._train(epochs)
+        except KeyboardInterrupt:
+            if self.ckpt is not None:
+                log.warning("interrupted: saving checkpoint at step %d",
+                            self.global_step)
+                self.ckpt.save(self.state, step=self.global_step, force=True)
+                self.ckpt.wait()
+            raise
+
+    def _train(self, epochs: Optional[int] = None) -> float:
         tcfg = self.config.train
         epochs = tcfg.num_train_epochs if epochs is None else epochs
         last_loss = float("nan")
