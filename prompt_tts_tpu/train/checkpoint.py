@@ -7,7 +7,7 @@ directions are first-class: async-capable orbax save of
 """
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -30,39 +30,49 @@ class CheckpointManager:
         )
 
     def save(self, state: TrainState, step: Optional[int] = None,
-             force: bool = False) -> bool:
+             force: bool = False, rng=None) -> bool:
         step = int(state.step if step is None else step)
+        composite = {
+            "params": ocp.args.StandardSave(state.params),
+            "opt_state": ocp.args.StandardSave(state.opt_state),
+        }
+        if rng is not None:
+            # save the training PRNG key (legacy uint32 layout) for exact
+            # resume
+            composite["rng"] = ocp.args.ArraySave(jax.numpy.asarray(rng))
         saved = self._mgr.save(
-            step,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardSave(state.params),
-                opt_state=ocp.args.StandardSave(state.opt_state),
-            ),
-            force=force,
-        )
+            step, args=ocp.args.Composite(**composite), force=force)
         return bool(saved)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state: TrainState,
-                step: Optional[int] = None) -> Tuple[TrainState, int]:
-        """Restore params/opt_state into ``state``; returns (state, step)."""
+    def restore(self, state: TrainState, step: Optional[int] = None,
+                with_rng: bool = False):
+        """Restore params/opt_state (and optionally the PRNG key).
+
+        Returns ``(state, step)`` or ``(state, step, rng)``.
+        """
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        composite = {
+            "params": ocp.args.StandardRestore(state.params),
+            "opt_state": ocp.args.StandardRestore(state.opt_state),
+        }
+        if with_rng:
+            composite["rng"] = ocp.args.ArrayRestore()
         restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardRestore(state.params),
-                opt_state=ocp.args.StandardRestore(state.opt_state),
-            ),
-        )
+            step, args=ocp.args.Composite(**composite))
         state = state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=step,
         )
+        if with_rng:
+            rng = restored.get("rng")
+            rng = None if rng is None else jax.numpy.asarray(rng)
+            return state, step, rng
         return state, step
 
     def wait(self) -> None:

@@ -19,7 +19,11 @@ from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
 from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
 from prompt_tts_tpu.train.checkpoint import CheckpointManager
 from prompt_tts_tpu.train.state import create_train_state
-from prompt_tts_tpu.train.step import jit_train_step, make_train_step
+from prompt_tts_tpu.train.step import (
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+)
 from prompt_tts_tpu.utils.debug import finite_or_warn
 from prompt_tts_tpu.utils.metrics import MetricsWriter
 
@@ -55,8 +59,10 @@ class Trainer:
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
 
         tcfg = config.train
-        steps_per_epoch = math.ceil(len(dataset) / tcfg.batch_size)
-        self.num_training_steps = tcfg.num_train_epochs * steps_per_epoch
+        self.steps_per_epoch = max(
+            1, math.ceil(len(dataset) / tcfg.batch_size))
+        self.num_training_steps = (tcfg.num_train_epochs
+                                   * self.steps_per_epoch)
 
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
@@ -84,7 +90,17 @@ class Trainer:
     def restore_latest(self) -> Optional[int]:
         if self.ckpt is None or self.ckpt.latest_step() is None:
             return None
-        self.state, step = self.ckpt.restore(self.state)
+        try:
+            self.state, step, rng = self.ckpt.restore(self.state,
+                                                      with_rng=True)
+            if rng is not None:
+                self.rng = rng
+        except Exception as e:
+            # older checkpoints have no rng entry; resume still works but
+            # the PRNG stream restarts — say so instead of degrading quietly
+            log.warning("checkpoint has no restorable rng (%s): resuming "
+                        "with a fresh PRNG stream", e)
+            self.state, step = self.ckpt.restore(self.state)
         self.global_step = step
         log.info("restored checkpoint at step %d", step)
         return step
@@ -97,7 +113,7 @@ class Trainer:
             if self.ckpt is not None:
                 log.warning("interrupted: saving checkpoint at step %d",
                             self.global_step)
-                self.ckpt.save(self.state, step=self.global_step, force=True)
+                self.ckpt.save(self.state, step=self.global_step, force=True, rng=self.rng)
                 self.ckpt.wait()
             raise
 
@@ -105,7 +121,14 @@ class Trainer:
         tcfg = self.config.train
         epochs = tcfg.num_train_epochs if epochs is None else epochs
         last_loss = float("nan")
-        for epoch in range(epochs):
+        # resume continues the epoch sequence (data order seeds follow the
+        # epoch index), rather than replaying epoch 0
+        start_epoch = self.global_step // self.steps_per_epoch
+        if start_epoch >= epochs:
+            log.info("nothing to do: already at epoch %d of %d "
+                     "(use --epochs to extend)", start_epoch, epochs)
+            return last_loss
+        for epoch in range(start_epoch, epochs):
             log.info("Starting epoch %d", epoch)
             t_epoch = time.time()
             for batch in self.dataset.batches(
@@ -138,8 +161,34 @@ class Trainer:
             if self.ckpt is not None and (
                     epoch % tcfg.save_per_epochs == 0
                     or epoch == epochs - 1):
-                self.ckpt.save(self.state, step=self.global_step, force=True)
+                self.ckpt.save(self.state, step=self.global_step, force=True, rng=self.rng)
             self.metrics.flush()
         if self.ckpt is not None:
             self.ckpt.wait()
         return last_loss
+
+    def evaluate(self, dataset=None, seed: int = 0) -> float:
+        """Mean deterministic eval loss over a dataset (default: train set).
+
+        Uses a FIXED noise/timestep stream per batch index so eval losses
+        are comparable across checkpoints.
+        """
+        dataset = dataset if dataset is not None else self.dataset
+        tcfg = self.config.train
+        if not hasattr(self, "_eval_fn"):
+            self._eval_fn = jax.jit(
+                make_eval_step(self.model.apply, self.schedule))
+        total, n = 0.0, 0
+        for i, batch in enumerate(dataset.batches(tcfg.batch_size)):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            sharded = shard_batch(batch, self.mesh)
+            total += float(self._eval_fn(self.state.params, sharded, rng))
+            n += 1
+        if n == 0:
+            raise ValueError(
+                f"evaluate(): dataset yielded no batches at batch_size="
+                f"{tcfg.batch_size} (len={len(dataset)})")
+        loss = total / n
+        self.metrics.add_scalar("Loss/eval", loss, self.global_step)
+        self.metrics.flush()
+        return loss

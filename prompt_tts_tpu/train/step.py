@@ -134,8 +134,10 @@ def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
         timesteps = jax.random.randint(
             rng_t, (B,), 0, schedule.num_train_timesteps, dtype=jnp.int32)
         noisy = add_noise(schedule, codes, noise, timesteps)
-        pred = apply_fn(params, noisy, timesteps, batch["text_ids"],
-                        batch["text_mask"], deterministic=True)
+        cond = (noisy, timesteps, batch["text_ids"], batch["text_mask"])
+        if "prompt" in batch:
+            cond = cond + (batch["prompt"],)
+        pred = apply_fn(params, *cond, deterministic=True)
         return jnp.mean(
             (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
     return eval_step

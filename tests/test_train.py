@@ -141,7 +141,12 @@ class TestTrainerAndCheckpoint:
         assert np.isfinite(loss)
         assert trainer.ckpt.latest_step() == trainer.global_step
 
-        # fresh trainer restores
+        # deterministic eval works and is repeatable
+        e1 = trainer.evaluate()
+        e2 = trainer.evaluate()
+        assert np.isfinite(e1) and e1 == e2
+
+        # fresh trainer restores params AND the rng stream
         trainer2 = Trainer(
             cfg, synth_data,
             log_dir=str(tmp_path / "logs2"),
@@ -152,6 +157,8 @@ class TestTrainerAndCheckpoint:
         a = jax.tree.leaves(trainer.state.params)[0]
         b = jax.tree.leaves(trainer2.state.params)[0]
         np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(np.asarray(trainer.rng),
+                                      np.asarray(trainer2.rng))
 
         # metrics jsonl written
         metrics = (tmp_path / "logs" / "metrics.jsonl").read_text()
