@@ -32,6 +32,12 @@ def parse_args(argv=None):
                    help="Activation rematerialization (jax.checkpoint).")
     p.add_argument("--smoke", action="store_true",
                    help="Tiny synthetic run on CPU (sanity check).")
+    p.add_argument("--streaming", action="store_true",
+                   help="Stream batches from the tar instead of loading "
+                        "the corpus into RAM (large corpora).")
+    p.add_argument("--multihost", action="store_true",
+                   help="Call jax.distributed.initialize() for multi-host "
+                        "SPMD (TPU pods; env-configured).")
     return p.parse_args(argv)
 
 
@@ -45,6 +51,10 @@ def main(argv=None):
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        # multi-host SPMD: coordinator/process info comes from the TPU pod
+        # environment; every process then sees the global device set
+        jax.distributed.initialize()
 
     import jax.numpy as jnp
     from prompt_tts_tpu.config import Config, ModelConfig, TrainConfig
@@ -78,8 +88,13 @@ def main(argv=None):
     else:
         if not args.data_file:
             raise SystemExit("--data_file is required (or use --smoke)")
-        dataset = CodeDataset(args.data_file,
-                              max_seq_length=args.max_seq_length)
+        if args.streaming:
+            from prompt_tts_tpu.data.streaming import StreamingCodeDataset
+            dataset = StreamingCodeDataset(
+                args.data_file, max_seq_length=args.max_seq_length)
+        else:
+            dataset = CodeDataset(args.data_file,
+                                  max_seq_length=args.max_seq_length)
 
     trainer = Trainer(
         config, dataset,
