@@ -81,7 +81,9 @@ class Synthesizer:
         rng: Optional[jax.Array] = None,
     ):
         # guidance_scale > 1 enables classifier-free guidance (the model
-        # should have been trained with train.cond_dropout_prob > 0)
+        # should have been trained with train.cond_dropout_prob > 0).
+        # Currently supported for the single-speaker model only; the
+        # prompt-conditioned path ignores it.
         self.guidance_scale = float(guidance_scale)
         self.config = config or Config()
         mcfg = self.config.model
