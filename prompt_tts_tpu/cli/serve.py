@@ -37,7 +37,12 @@ def parse_args(argv=None):
 
 
 class _Batcher:
-    """Collects requests into fixed-size batches for the device program."""
+    """Collects requests into fixed-size batches for the device program.
+
+    Note: one device invocation uses one PRNG seed, so requests batched
+    together share the first request's ``seed`` for their noise draw
+    (each still gets distinct noise — the draw is per batch element).
+    """
 
     def __init__(self, synth, max_batch: int, window_s: float):
         self.synth = synth

@@ -1,0 +1,108 @@
+"""Inference server test: start on CPU with a tiny config, hit the HTTP
+surface (healthz, synthesize, concurrency, error paths)."""
+
+import http.client
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+TINY_CONFIG = {
+    "block_out_channels": [32, 64, 64, 64],
+    "cross_attention_dim": 64,
+    "attention_head_dim": 32,
+    "text_encoder_layers": 1,
+    "cmu_seq_len": 64,
+    "sample_size": 40,
+    "layers_per_block": 1,
+    "unet_num_heads": 4,
+}
+
+PORT = 8791
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg_path = tmp_path_factory.mktemp("serve") / "cfg.json"
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "prompt_tts_tpu.cli.serve",
+         "--cpu", "--steps", "2", "--max_batch", "2",
+         "--port", str(PORT), "--config_file", str(cfg_path),
+         "--batch_window_ms", "50"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # wait for "ready" (compile takes a while on CPU)
+    deadline = time.time() + 420
+    ready = False
+    lines = []
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "serving on" in line:
+            ready = True
+            break
+        if proc.poll() is not None:
+            break
+    if not ready:
+        proc.kill()
+        pytest.fail("server did not become ready:\n" + "".join(lines[-20:]))
+    yield proc
+    proc.kill()
+    proc.wait()
+
+
+def _post(path, body, timeout=120):
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=timeout)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+@pytest.mark.slow
+class TestServer:
+    def test_healthz(self, server):
+        conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=30)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["status"] == "ok"
+        conn.close()
+
+    def test_synthesize_returns_wav(self, server):
+        status, data = _post("/synthesize",
+                             json.dumps({"text": "hello server"}))
+        assert status == 200
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        # tiny config: 40 frames * 320 samples * 2 bytes + header
+        assert len(data) > 40 * 320 * 2
+
+    def test_concurrent_requests_batched(self, server):
+        results = {}
+
+        def call(name, text):
+            results[name] = _post("/synthesize",
+                                  json.dumps({"text": text}))
+
+        t1 = threading.Thread(target=call, args=("a", "first request"))
+        t2 = threading.Thread(target=call, args=("b", "second request"))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert results["a"][0] == 200 and results["b"][0] == 200
+        # different texts -> different audio payloads
+        assert results["a"][1] != results["b"][1]
+
+    def test_bad_json_400(self, server):
+        status, _ = _post("/synthesize", "this is not json")
+        assert status == 400
+
+    def test_unknown_path_404(self, server):
+        status, _ = _post("/nope", "{}")
+        assert status == 404
