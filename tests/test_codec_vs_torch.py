@@ -118,3 +118,32 @@ class TestDecoderParity:
         n = min(twav.shape[-1], np.asarray(jwav).shape[-1])
         np.testing.assert_allclose(
             np.asarray(jwav)[:, :n], twav[:, 0, :n].numpy(), atol=1e-5)
+
+
+class TestBandwidthTiers:
+    @pytest.mark.parametrize("bw,n_q", [(1.5, 2), (3.0, 4), (12.0, 16),
+                                        (24.0, 32)])
+    def test_bit_exact_codes_at_bandwidth(self, torch_model, jax_params,
+                                          codec, bw, n_q):
+        """Every EnCodec bandwidth tier must select the right number of
+        quantizers and stay bit-exact (reference uses 6.0 only, but the
+        codec supports the full ladder — generate_code.py:14)."""
+        torch.manual_seed(int(bw * 10))
+        wav = torch.randn(1, 1, 6400)
+        with torch.no_grad():
+            tcodes = torch_model.encode(wav, bandwidth=bw).audio_codes[0]
+        jcodes = codec.apply(jax_params, jnp.asarray(wav[:, 0].numpy()),
+                             bw, method=EncodecCodec.encode)
+        assert jcodes.shape[1] == n_q
+        np.testing.assert_array_equal(np.asarray(jcodes), tcodes.numpy())
+
+    def test_decode_with_fewer_quantizers(self, torch_model, jax_params,
+                                          codec):
+        torch.manual_seed(9)
+        codes = torch.randint(0, 1024, (1, 1, 2, 20))
+        with torch.no_grad():
+            twav = torch_model.decode(codes, [None]).audio_values
+        jwav = codec.apply(jax_params, jnp.asarray(codes[0].numpy()),
+                           method=EncodecCodec.decode)
+        np.testing.assert_allclose(np.asarray(jwav), twav[:, 0].numpy(),
+                                   atol=1e-5)
