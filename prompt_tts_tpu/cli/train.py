@@ -26,6 +26,16 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="Restore the latest checkpoint before training.")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel degree: size of the mesh 'model' "
+                        "axis (params+moments Megatron-sharded over it; "
+                        "the remaining devices form the 'data' axis).")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="Run a deterministic eval pass (Loss/eval) every "
+                        "N epochs (0 = never).")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="Capture a jax.profiler trace of N steps into "
+                        "<log_dir>/xprof (0 = off).")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--remat", action="store_true",
@@ -100,8 +110,11 @@ def main(argv=None):
         config, dataset,
         log_dir=args.log_dir,
         ckpt_dir=args.ckpt_dir,
+        n_model=args.tp,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         remat=args.remat,
+        profile_steps=args.profile_steps,
+        eval_every=args.eval_every,
     )
     if args.resume:
         trainer.restore_latest()

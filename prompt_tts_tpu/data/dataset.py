@@ -117,9 +117,12 @@ class CodeDataset:
             idx = order[start: start + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
-            yield self._collate(idx)
+            # crop seed folds in the epoch seed + batch position, so prompt
+            # crops vary across epochs (not just across batch compositions)
+            yield self._collate(idx, crop_seed=(seed, start))
 
-    def _collate(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+    def _collate(self, idx: np.ndarray,
+                 crop_seed=(0, 0)) -> Dict[str, np.ndarray]:
         codes = np.stack([self.codes[i] for i in idx])        # [B, 8, T]
         # native multithreaded normalize+transpose (numpy fallback inside)
         latents = native.collate_codes(codes)
@@ -134,18 +137,20 @@ class CodeDataset:
             batch["prompt"] = _crop_prompts(
                 latents,
                 np.asarray([self.code_len[i] for i in idx]),
-                self.prompt_frames)
+                self.prompt_frames, seed=crop_seed)
         return batch
 
 
 def _crop_prompts(latents: np.ndarray, lengths: np.ndarray,
-                  prompt_frames: int, seed: int = 0) -> np.ndarray:
+                  prompt_frames: int, seed=(0, 0)) -> np.ndarray:
     """Random same-utterance crops ``[B, prompt_frames, n_q]``.
 
     Crops stay inside the true (unpadded) frame span when possible.
+    ``seed`` is an (epoch_seed, batch_start) pair: the same batch gets
+    DIFFERENT crops in different epochs (augmentation), deterministically.
     """
     B, T, _ = latents.shape
-    rng = np.random.default_rng(seed + int(lengths.sum()))
+    rng = np.random.default_rng(tuple(seed))
     out = np.zeros((B, prompt_frames, latents.shape[-1]), np.float32)
     for i in range(B):
         span = min(int(lengths[i]), T)
@@ -195,5 +200,6 @@ class SyntheticDataset:
             }
             if self.prompt_frames:
                 batch["prompt"] = _crop_prompts(
-                    latents, self.code_len[idx], self.prompt_frames)
+                    latents, self.code_len[idx], self.prompt_frames,
+                    seed=(seed, start))
             yield batch

@@ -82,7 +82,8 @@ class StreamingCodeDataset:
                 }
                 if self.prompt_frames:
                     batch["prompt"] = _crop_prompts(
-                        latents, batch["code_len"], self.prompt_frames)
+                        latents, batch["code_len"], self.prompt_frames,
+                        seed=(seed, start))
                 yield batch
 
         return prefetch(gen(), depth=self.prefetch_depth)

@@ -47,6 +47,27 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def has_item(self, name: str, step: Optional[int] = None) -> bool:
+        """Whether checkpoint ``step`` contains composite item ``name``.
+
+        Lets callers distinguish "legacy checkpoint without an rng entry"
+        from genuine restore corruption (instead of a blanket except).
+        """
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return False
+        # orbax lays composite items out as per-item subdirectories
+        if os.path.isdir(os.path.join(self._dir, str(step), name)):
+            return True
+        try:
+            meta = self._mgr.item_metadata(step)
+        except Exception:
+            return False
+        try:
+            return name in meta
+        except TypeError:
+            return getattr(meta, name, None) is not None
+
     def restore(self, state: TrainState, step: Optional[int] = None,
                 with_rng: bool = False):
         """Restore params/opt_state (and optionally the PRNG key).

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from prompt_tts_tpu.config import Config
 from prompt_tts_tpu.diffusion.schedule import linear_schedule
 from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
-from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
+from prompt_tts_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_batch
+from prompt_tts_tpu.parallel.tp import state_shardings
 from prompt_tts_tpu.train.checkpoint import CheckpointManager
 from prompt_tts_tpu.train.state import create_train_state
 from prompt_tts_tpu.train.step import (
@@ -40,17 +41,27 @@ class Trainer:
         log_dir: str,
         ckpt_dir: Optional[str] = None,
         mesh=None,
+        n_model: int = 1,
         dtype=jnp.float32,
         remat: bool = False,
         profile_steps: int = 0,
+        eval_every: int = 0,
+        eval_dataset=None,
     ):
         # profile_steps > 0: capture a jax.profiler trace of that many steps
         # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
         # unsupported over tunneled single-chip dev setups).
+        # n_model > 1: tensor-parallel training — the mesh model axis gets
+        # n_model devices and params+moments are Megatron-sharded over it
+        # (parallel/tp.py rules); the data axis takes the rest.
+        # eval_every > 0: run a deterministic eval pass (Trainer.evaluate)
+        # every that-many epochs, logged as Loss/eval.
         self.profile_steps = profile_steps
+        self.eval_every = eval_every
+        self.eval_dataset = eval_dataset
         self.config = config
         self.dataset = dataset
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else make_mesh(n_model=n_model)
         model_cls = (TTSPromptSpeaker if config.model.prompt_conditioning
                      else TTSSingleSpeaker)
         self.model = model_cls(config.model, dtype=dtype)
@@ -80,26 +91,33 @@ class Trainer:
         self.state = create_train_state(
             self.model, params, tcfg, self.num_training_steps)
 
+        if self.mesh.shape[MODEL_AXIS] > 1:
+            self._state_sharding = state_shardings(self.state, self.mesh)
+            self.state = jax.device_put(self.state, self._state_sharding)
+        else:
+            self._state_sharding = None
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob),
             self.mesh,
+            state_sharding=self._state_sharding,
         )
         self.global_step = 0
 
     def restore_latest(self) -> Optional[int]:
         if self.ckpt is None or self.ckpt.latest_step() is None:
             return None
-        try:
+        # older checkpoints have no rng entry; resume still works but the
+        # PRNG stream restarts — detect that case explicitly so genuine
+        # restore errors (corrupt opt_state etc.) propagate unmasked
+        if self.ckpt.has_item("rng"):
             self.state, step, rng = self.ckpt.restore(self.state,
                                                       with_rng=True)
             if rng is not None:
                 self.rng = rng
-        except Exception as e:
-            # older checkpoints have no rng entry; resume still works but
-            # the PRNG stream restarts — say so instead of degrading quietly
-            log.warning("checkpoint has no restorable rng (%s): resuming "
-                        "with a fresh PRNG stream", e)
+        else:
+            log.warning("checkpoint has no rng entry: resuming with a "
+                        "fresh PRNG stream")
             self.state, step = self.ckpt.restore(self.state)
         self.global_step = step
         log.info("restored checkpoint at step %d", step)
@@ -158,6 +176,9 @@ class Trainer:
                                         self.global_step)
             self.metrics.add_scalar("epoch_time_s", time.time() - t_epoch,
                                     self.global_step)
+            if self.eval_every and (epoch + 1) % self.eval_every == 0:
+                eval_loss = self.evaluate(self.eval_dataset)
+                log.info("epoch %d eval loss: %f", epoch, eval_loss)
             if self.ckpt is not None and (
                     epoch % tcfg.save_per_epochs == 0
                     or epoch == epochs - 1):

@@ -163,3 +163,66 @@ class TestTrainerAndCheckpoint:
         # metrics jsonl written
         metrics = (tmp_path / "logs" / "metrics.jsonl").read_text()
         assert "Loss/train" in metrics
+
+
+class TestTrainerTPAndEval:
+    def test_trainer_tp_from_user_surface(self, synth_data, tmp_path):
+        """Trainer(n_model=2) — the cli/train.py --tp path — trains with
+        params actually laid out over the model axis and matches DP loss."""
+        from jax.sharding import PartitionSpec as P
+        from prompt_tts_tpu.parallel.mesh import MODEL_AXIS
+
+        cfg = tiny_config(num_train_epochs=1)
+        tp = Trainer(cfg, synth_data, log_dir=str(tmp_path / "tp"),
+                     n_model=2)
+        assert tp.mesh.shape[MODEL_AXIS] == 2
+        loss_tp = tp.train(epochs=1)
+        assert np.isfinite(loss_tp)
+
+        # a TP-ruled kernel is sharded over the model axis
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                tp.state.params):
+            s = "/".join(str(getattr(k, "key", k)) for k in path)
+            if s.endswith("to_q/kernel"):
+                assert leaf.sharding.spec == P(None, MODEL_AXIS)
+                break
+        else:
+            pytest.fail("no to_q kernel found")
+
+        # same data/seeds under pure DP: first-epoch losses must agree
+        dp = Trainer(cfg, synth_data, log_dir=str(tmp_path / "dp"))
+        loss_dp = dp.train(epochs=1)
+        np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-4)
+
+    def test_trainer_eval_every(self, synth_data, tmp_path):
+        cfg = tiny_config(num_train_epochs=2)
+        t = Trainer(cfg, synth_data, log_dir=str(tmp_path / "logs"),
+                    eval_every=1)
+        t.train()
+        metrics = (tmp_path / "logs" / "metrics.jsonl").read_text()
+        assert metrics.count("Loss/eval") == 2
+
+    def test_restore_distinguishes_missing_rng_from_corruption(
+            self, synth_data, tmp_path):
+        """has_item('rng') routes legacy checkpoints to the no-rng path;
+        a genuinely broken checkpoint raises instead of being masked."""
+        cfg = tiny_config(num_train_epochs=1)
+        t = Trainer(cfg, synth_data, log_dir=str(tmp_path / "logs"),
+                    ckpt_dir=str(tmp_path / "ckpt"))
+        t.train(epochs=1)
+        step = t.ckpt.latest_step()
+        assert t.ckpt.has_item("rng", step)
+        assert not t.ckpt.has_item("nonexistent", step)
+
+
+class TestPromptCropReseeding:
+    def test_crops_vary_across_epochs(self):
+        data = SyntheticDataset(n=8, frames=48, max_seq_length=32,
+                                prompt_frames=16)
+        b_e0 = next(data.batches(8, shuffle=False, seed=0))
+        b_e0_again = next(data.batches(8, shuffle=False, seed=0))
+        b_e1 = next(data.batches(8, shuffle=False, seed=1))
+        # deterministic within an epoch seed...
+        np.testing.assert_array_equal(b_e0["prompt"], b_e0_again["prompt"])
+        # ...but different across epochs (same batch composition)
+        assert not np.array_equal(b_e0["prompt"], b_e1["prompt"])
