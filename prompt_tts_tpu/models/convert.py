@@ -39,10 +39,13 @@ from typing import Dict, Tuple
 import numpy as np
 
 
-def _t(x):  # torch tensor / numpy -> numpy
+def _t(x):  # torch tensor / numpy -> numpy (always a copy)
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x)
+    # copy: torch .numpy() SHARES storage with the live tensor, so without
+    # it the converted params would silently mutate if the torch model
+    # keeps training (bit the loss-parity A/B harness)
+    return np.array(x, copy=True)
 
 
 def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
