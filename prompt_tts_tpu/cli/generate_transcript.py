@@ -1,9 +1,13 @@
 """ASR pseudo-labeling of cut audio tars (optional host tool).
 
 Equivalent of reference data_preparation/asr/generate_transcript.py:44-70:
-transcribes each wav in a tar with a local HF Speech2Text checkpoint and
-appends ``<key>.txt`` members, resumable via ignore/error lists.  Requires
-a LOCAL model directory (zero-egress environments cannot download).
+transcribes each wav in a tar with a local HF ASR checkpoint and appends
+``<key>.txt`` members, resumable via ignore/error lists.  Requires a LOCAL
+model directory (zero-egress environments cannot download).
+
+Architectures: seq2seq Speech2Text (the reference's s2t-small-librispeech
+path, generate_transcript.py:13-18) and, beyond the reference, CTC models
+(wav2vec2-style) — auto-detected from the checkpoint config.
 """
 
 import argparse
@@ -30,18 +34,25 @@ def main(argv=None):
             f"--model_dir {args.model_dir} not found; this tool needs a "
             "local Speech2Text checkpoint (no network access assumed)")
 
-    import numpy as np
     import torch
-    from transformers import (
-        Speech2TextForConditionalGeneration,
-        Speech2TextProcessor,
-    )
+    from transformers import AutoConfig
 
     from prompt_tts_tpu.utils.wav import read_wav
 
-    model = Speech2TextForConditionalGeneration.from_pretrained(
-        args.model_dir).eval()
-    processor = Speech2TextProcessor.from_pretrained(args.model_dir)
+    cfg = AutoConfig.from_pretrained(args.model_dir)
+    is_ctc = any(a.endswith("ForCTC") for a in (cfg.architectures or []))
+    if is_ctc:
+        from transformers import AutoModelForCTC, AutoProcessor
+        model = AutoModelForCTC.from_pretrained(args.model_dir).eval()
+        processor = AutoProcessor.from_pretrained(args.model_dir)
+    else:
+        from transformers import (
+            Speech2TextForConditionalGeneration,
+            Speech2TextProcessor,
+        )
+        model = Speech2TextForConditionalGeneration.from_pretrained(
+            args.model_dir).eval()
+        processor = Speech2TextProcessor.from_pretrained(args.model_dir)
 
     ignore_path = os.path.join(args.state_dir, "asr_ignore_list.txt")
     done = set()
@@ -64,9 +75,12 @@ def main(argv=None):
             inputs = processor(audios, sampling_rate=16000,
                                return_tensors="pt", padding=True)
             with torch.no_grad():
-                ids = model.generate(
-                    inputs["input_features"],
-                    attention_mask=inputs["attention_mask"])
+                if is_ctc:
+                    ids = model(inputs["input_values"]).logits.argmax(-1)
+                else:
+                    ids = model.generate(
+                        inputs["input_features"],
+                        attention_mask=inputs.get("attention_mask"))
             texts = processor.batch_decode(ids, skip_special_tokens=True)
             for m, text in zip(chunk, texts):
                 data = text.encode()
