@@ -10,6 +10,21 @@ EnCodec decode to 24 kHz audio, all in ONE jitted device program
 (prompt_tts_tpu.pipeline.Synthesizer).  96 s of audio per batch.
 ``vs_baseline`` is value / 50 — the >=50x real-time-per-chip target
 (BASELINE.md; the reference itself publishes no benchmark numbers).
+
+Timing methodology (round 2, frozen — validated against a matmul chain
+hitting ~96% of v5e bf16 peak):
+  * value / rtf_device_program — K synthesis programs CHAINED inside one
+    jitted scan (each x_T depends on the previous wav, so nothing can be
+    hoisted or cached), final scalar pulled to the host; per-iteration
+    time is the (2K-chain - K-chain) difference, which cancels the fixed
+    dispatch+read floor exactly.  Through this dev setup's axon relay,
+    ``block_until_ready`` returns WITHOUT waiting and repeated identical
+    calls can be served from a cache, so the round-1 per-call timings
+    were unreliable; the chained-difference number is the device-program
+    throughput and is comparable across rounds.
+  * rtf_with_host_transfers — every call pulls the 9 MB audio batch to
+    the host (serving-style; includes this harness's ~25-30 ms RPC floor,
+    so it UNDERSTATES what a production host would see).
 """
 
 import json
@@ -35,53 +50,64 @@ TEXTS = [
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from prompt_tts_tpu.pipeline import Synthesizer
 
     synth = Synthesizer(num_inference_steps=STEPS)
 
-    # Time the DEVICE program (tokenize once, outputs stay on device and
-    # are blocked on): host-pulling 9 MB of audio through this dev setup's
-    # TPU tunnel per iteration adds +-15% noise that has nothing to do
-    # with synthesis throughput. One full host round-trip validates the
-    # output below.
     ids, mask = synth.tokenizer.encode_batch(TEXTS)
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
-    x_Ts = [jax.random.normal(
-        jax.random.PRNGKey(i),
+    x_T = jax.random.normal(
+        jax.random.PRNGKey(0),
         (BATCH, synth.config.model.sample_size,
-         synth.config.model.in_channels)) for i in range(6)]
+         synth.config.model.in_channels))
 
+    # one full host round-trip validates the output
     wav, codes = synth._synth_fn(synth.model_params, synth.codec_params,
-                                 x_Ts[0], ids, mask)
-    jax.block_until_ready(wav)  # compile + warmup
-
-    n_iters = 5
-    t_start = time.perf_counter()
-    for i in range(n_iters):
-        wav, _ = synth._synth_fn(synth.model_params, synth.codec_params,
-                                 x_Ts[i + 1], ids, mask)
-    jax.block_until_ready(wav)
-    elapsed = (time.perf_counter() - t_start) / n_iters
-
-    audio_seconds = BATCH * AUDIO_SECONDS_PER_ITEM
-    rtf = audio_seconds / elapsed
-    import numpy as np
+                                 x_T, ids, mask)
     host_wav = np.asarray(wav)
     assert host_wav.shape == (BATCH, 288000), host_wav.shape
     assert np.isfinite(host_wav).all()
 
-    # Frozen methodology (round 1 changed definitions mid-round; keep BOTH
-    # from now on so the cross-round series stays comparable):
-    #   value / rtf_device_program — device program timed with inputs
-    #     pre-staged, outputs blocked on device (the throughput number);
-    #   rtf_with_host_transfers — every call pulls the 9 MB audio batch to
-    #     the host through the tunnel (the strict serving-style number).
+    # --- device-program RTF: chained-scan difference timing ---
+    def chain(iters):
+        def run(mp, cp, x0, ids_, mask_):
+            def body(c, _):
+                w, _codes = synth._synthesize_device(
+                    mp, cp, x0 * c, ids_, mask_)
+                return 1.0 + jnp.mean(w).astype(jnp.float32) * 1e-20, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
+            return c
+
+        fn = jax.jit(run)
+        float(fn(synth.model_params, synth.codec_params, x_T, ids, mask))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(synth.model_params, synth.codec_params, x_T, ids,
+                     mask))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    K = 2
+    t1 = chain(K)
+    t2 = chain(2 * K)
+    per_iter = (t2 - t1) / K
+
+    audio_seconds = BATCH * AUDIO_SECONDS_PER_ITEM
+    rtf = audio_seconds / per_iter
+
+    # --- serving-style RTF: per-call with full host audio pull ---
+    n_iters = 5
+    seeds = [jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape)
+             for i in range(n_iters)]
     t_start = time.perf_counter()
     for i in range(n_iters):
-        wav, _ = synth._synth_fn(synth.model_params, synth.codec_params,
-                                 x_Ts[i + 1], ids, mask)
-        np.asarray(wav)
+        w, _ = synth._synth_fn(synth.model_params, synth.codec_params,
+                               seeds[i], ids, mask)
+        np.asarray(w)
     elapsed_xfer = (time.perf_counter() - t_start) / n_iters
     rtf_xfer = audio_seconds / elapsed_xfer
 
@@ -92,6 +118,7 @@ def main():
         "vs_baseline": round(rtf / TARGET_RTF, 3),
         "rtf_device_program": round(rtf, 2),
         "rtf_with_host_transfers": round(rtf_xfer, 2),
+        "methodology": "r2-chained-diff",
     }))
 
 

@@ -104,10 +104,12 @@ class CodecLSTM(nn.Module):
 
     hidden: int
     num_layers: int = 2
-    # Experimental: the fused kernel is currently SLOWER than XLA's scan at
-    # this model's shapes (B=8, H=512: ~114us/step vs ~28us/step measured
-    # on v5e) — keep off until the kernel wins.
-    use_pallas: bool = False
+    # The fused kernel wins on v5e: 0.84 us/step vs the scan's 1.15
+    # (honest chained-difference timing, tools/abl_codec.py round 2; the
+    # round-1 "kernel loses 4x" numbers were measurement artifacts of the
+    # async relay).  Bit-exact vs the scan, forward-only — the scan path
+    # remains for CPU and for gradients.
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

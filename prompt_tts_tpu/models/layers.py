@@ -81,20 +81,28 @@ class Attention(nn.Module):
         context: Optional[jnp.ndarray] = None,  # [B, Tk, Cc] or None (self)
         bias: Optional[jnp.ndarray] = None,   # additive, broadcast [B,1,1,Tk]
         deterministic: bool = True,
+        kv_cache: Optional[tuple] = None,     # ([B,Tk,H,D], [B,Tk,H,D])
     ) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
         dense = lambda feats, name, bias_: nn.DenseGeneral(
             feats, use_bias=bias_, dtype=self.dtype, name=name)
         q = dense(inner, "to_q", False)(x)
-        k = dense(inner, "to_k", False)(ctx)
-        v = dense(inner, "to_v", False)(ctx)
-
         B, Tq, _ = q.shape
-        Tk = k.shape[1]
         q = q.reshape(B, Tq, self.num_heads, self.head_dim)
-        k = k.reshape(B, Tk, self.num_heads, self.head_dim)
-        v = v.reshape(B, Tk, self.num_heads, self.head_dim)
+
+        if kv_cache is not None:
+            # k/v precomputed from a loop-invariant context (sampler hoist:
+            # the DDIM scan reuses the same text context for every step, so
+            # the to_k/to_v projections run once per utterance, not per
+            # step).  Shapes are already [B, Tk, H, D] in model dtype.
+            k, v = kv_cache
+        else:
+            k = dense(inner, "to_k", False)(ctx)
+            v = dense(inner, "to_v", False)(ctx)
+            Tk = k.shape[1]
+            k = k.reshape(B, Tk, self.num_heads, self.head_dim)
+            v = v.reshape(B, Tk, self.num_heads, self.head_dim)
 
         out = scaled_dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(B, Tq, inner)
@@ -158,6 +166,7 @@ class TransformerBlock(nn.Module):
         self_attn_bias: Optional[jnp.ndarray] = None,
         cross_attn_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        cross_kv: Optional[tuple] = None,       # precomputed attn2 (k, v)
     ) -> jnp.ndarray:
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         attn = lambda name: Attention(
@@ -171,11 +180,12 @@ class TransformerBlock(nn.Module):
         x = x + h
 
         if self.cross_attention_dim is not None:
-            if context is None:
+            if context is None and cross_kv is None:
                 raise ValueError("cross-attention block requires context")
             h = attn("attn2")(ln("norm2")(x), context=context,
                               bias=cross_attn_bias,
-                              deterministic=deterministic)
+                              deterministic=deterministic,
+                              kv_cache=cross_kv)
             x = x + h
 
         h = GEGLUFeedForward(dim=self.dim, dropout=self.dropout,

@@ -64,9 +64,10 @@ class TTSPromptSpeaker(nn.Module):
         context: jnp.ndarray,
         speaker_emb: jnp.ndarray,
         deterministic: bool = True,
+        cross_kv=None,                # unet1d.cross_attention_kv() output
     ) -> jnp.ndarray:
         return self.unet(sample, timesteps, context, class_emb=speaker_emb,
-                         deterministic=deterministic)
+                         deterministic=deterministic, cross_kv=cross_kv)
 
     def __call__(
         self,

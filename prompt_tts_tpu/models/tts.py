@@ -53,9 +53,10 @@ class TTSSingleSpeaker(nn.Module):
         timesteps: jnp.ndarray,       # [B] int
         context: jnp.ndarray,         # [B, S, cross_dim]
         deterministic: bool = True,
+        cross_kv=None,                # unet1d.cross_attention_kv() output
     ) -> jnp.ndarray:
         return self.unet(sample, timesteps, context,
-                         deterministic=deterministic)
+                         deterministic=deterministic, cross_kv=cross_kv)
 
     def __call__(
         self,

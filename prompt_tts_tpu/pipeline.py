@@ -78,6 +78,7 @@ class Synthesizer:
         num_inference_steps: int = 50,
         guidance_scale: float = 1.0,
         dtype=jnp.bfloat16,
+        codec_dtype=jnp.float32,
         rng: Optional[jax.Array] = None,
     ):
         # guidance_scale > 1 enables classifier-free guidance (the model
@@ -92,6 +93,14 @@ class Synthesizer:
         self.model = model_cls(mcfg, dtype=dtype)
         self._codec_runner = CodecRunner(codec_params)
         self.codec = self._codec_runner.codec
+        # codec_dtype=bf16 is an OPTIONAL fast decode (~2x on the
+        # bandwidth/MXU-bound SEANet pyramid) with a measured fidelity
+        # cost: mel distance vs torch 0.209 (bf16) vs 1.7e-5 (f32) —
+        # tools/mel_parity.py --codec_dtype bf16.  Decode is only ~5% of
+        # the synthesis pipeline, so the default stays at the reference's
+        # f32 fidelity point; params are shared f32 either way.
+        self._codec_fast = (self.codec if codec_dtype == jnp.float32
+                            else EncodecCodec(dtype=codec_dtype))
         self.schedule = linear_schedule(
             self.config.train.num_train_timesteps)
         self.tokenizer = Tokenizer(max_len=mcfg.cmu_seq_len)
@@ -112,6 +121,14 @@ class Synthesizer:
 
         self._synth_fn = jax.jit(self._synthesize_device)
 
+    def _cross_kv(self, model_params, context):
+        """Hoist the UNet's cross-attention k/v projections out of the DDIM
+        loop (the text context is loop-invariant — ~25% of UNet matmul FLOPs
+        run once per utterance instead of once per step)."""
+        from prompt_tts_tpu.models.unet1d import cross_attention_kv
+        return cross_attention_kv(model_params["params"]["unet"], context,
+                                  self.config.model, dtype=self.model.dtype)
+
     def _synthesize_device(self, model_params, codec_params, x_T, ids, mask,
                            prompt=None):
         # conditioning is loop-invariant: compute it ONCE, not per DDIM step
@@ -119,10 +136,11 @@ class Synthesizer:
             context, speaker = self.model.apply(
                 model_params, ids, mask, prompt,
                 method=TTSPromptSpeaker.encode_conditioning)
+            kv = self._cross_kv(model_params, context)
 
             def denoise(x, t):
                 return self.model.apply(
-                    model_params, x, t, context, speaker,
+                    model_params, x, t, context, speaker, cross_kv=kv,
                     method=TTSPromptSpeaker.denoise)
         elif self.guidance_scale != 1.0:
             # classifier-free guidance: batch the conditional and
@@ -133,30 +151,33 @@ class Synthesizer:
                 model_params, jnp.zeros_like(ids), jnp.zeros_like(mask),
                 method=TTSSingleSpeaker.encode_text)
             ctx2 = jnp.concatenate([context, null_ctx], axis=0)
+            kv = self._cross_kv(model_params, ctx2)
             s = self.guidance_scale
 
             def denoise(x, t):
                 eps2 = self.model.apply(
                     model_params, jnp.concatenate([x, x], axis=0),
-                    jnp.concatenate([t, t], axis=0), ctx2,
+                    jnp.concatenate([t, t], axis=0), ctx2, cross_kv=kv,
                     method=TTSSingleSpeaker.denoise)
                 eps_c, eps_u = jnp.split(eps2, 2, axis=0)
                 return eps_u + s * (eps_c - eps_u)
         else:
             context = self.model.apply(model_params, ids, mask,
                                        method=TTSSingleSpeaker.encode_text)
+            kv = self._cross_kv(model_params, context)
 
             def denoise(x, t):
                 return self.model.apply(model_params, x, t, context,
+                                        cross_kv=kv,
                                         method=TTSSingleSpeaker.denoise)
 
         latents = ddim_sample(
             denoise, self.schedule, x_T,
             num_inference_steps=self.num_inference_steps)
         codes = latents_to_codes(latents)
-        wav = self.codec.apply(codec_params, codes,
-                               method=EncodecCodec.decode)
-        return wav, codes
+        wav = self._codec_fast.apply(codec_params, codes,
+                                     method=EncodecCodec.decode)
+        return wav.astype(jnp.float32), codes
 
     def synthesize(
         self,

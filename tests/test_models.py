@@ -101,6 +101,22 @@ class TestFullModel:
         out_b = model.apply(params, sample, t, ids_b, mask)
         assert float(jnp.abs(out_a - out_b).max()) > 1e-5
 
+    def test_cross_kv_hoist_is_bit_exact(self, tiny_model_and_params):
+        """denoise with precomputed cross-attn k/v (the sampler hoist)
+        must equal the in-call projection path exactly."""
+        from prompt_tts_tpu.models.unet1d import cross_attention_kv
+
+        model, params, (sample, t, ids, mask) = tiny_model_and_params
+        ctx = model.apply(params, ids, mask,
+                          method=TTSSingleSpeaker.encode_text)
+        eps_ref = model.apply(params, sample, t, ctx,
+                              method=TTSSingleSpeaker.denoise)
+        kv = cross_attention_kv(params["params"]["unet"], ctx, TINY)
+        eps_kv = model.apply(params, sample, t, ctx, cross_kv=kv,
+                             method=TTSSingleSpeaker.denoise)
+        np.testing.assert_array_equal(np.asarray(eps_ref),
+                                      np.asarray(eps_kv))
+
     def test_gradients_flow_to_all_params(self, tiny_model_and_params):
         model, params, args = tiny_model_and_params
 

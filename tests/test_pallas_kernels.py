@@ -112,6 +112,36 @@ class TestLSTMScanReference:
         np.testing.assert_allclose(out, ref.numpy().transpose(1, 0, 2),
                                    atol=2e-6)
 
+    def test_transposed_kernel_matches_scan_interpret(self):
+        """lstm_recurrence_t (stationary-state MXU schedule) must be
+        bit-identical to the scan reference, incl. the T-padding path."""
+        from jax.experimental.pallas import tpu as pltpu
+        from prompt_tts_tpu.ops.pallas.lstm import lstm_recurrence_t
+
+        T, B, H = 70, 8, 64  # T=70 with block_t=32 exercises padding
+        key = jax.random.PRNGKey(0)
+        xp = jax.random.normal(key, (T, B, 4 * H)) * 0.5
+        w = jax.random.normal(jax.random.PRNGKey(1), (4 * H, H)) * 0.1
+
+        def scan_rec(xp, w):
+            def step(carry, g):
+                h, c = carry
+                gates = g + h @ w.T
+                i, f, gg, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+            _, hs = jax.lax.scan(step, init, xp)
+            return hs
+
+        ref = scan_rec(xp, w)
+        with pltpu.force_tpu_interpret_mode():
+            out = lstm_recurrence_t(xp, w, block_t=32)
+        assert out.shape == (T, B, H)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
 
 class TestRVQFusedWrapper:
     def test_interpret_mode_matches_xla_reference(self):

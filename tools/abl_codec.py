@@ -1,11 +1,14 @@
-"""Codec decode timing breakdown on the real TPU (scan-based methodology).
+"""Codec decode timing breakdown on the real TPU.
 
-Measures, with K chained iterations inside one jitted program:
+Same methodology as tools/abl_unet.py: K-vs-2K chained scans with a host
+read (through the axon relay ``block_until_ready`` returns without
+waiting; the fixed ~25-30 ms RPC+read floor cancels in the difference).
+
+Measures:
   - full codec decode (RVQ dequant + SEANet decoder) at [8, 8, 900]
-  - the 2-layer LSTM alone at its decoder operating point [8, 113?, ...]
-    (EnCodec decoder LSTM runs at the latent rate: T=900, C=512)
-  - one LSTM layer via lax.scan vs the Pallas kernel
-  - bf16-weight recurrence variant (numerics probe for a fast path)
+  - the 2-layer LSTM block alone at the decoder operating point [8,900,512]
+  - one LSTM recurrence: lax.scan vs the Pallas kernels (f32 and
+    transposed-layout variants)
 
 Run: python -u tools/abl_codec.py   (background, 1500s+ budget)
 """
@@ -19,63 +22,65 @@ from prompt_tts_tpu.codec import EncodecCodec
 from prompt_tts_tpu.codec.layers import CodecLSTM
 
 B, T, H = 8, 900, 512
-K = 20
+K = 10
 
 
-def timed(run, iters):
-    out = run()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e6
+def chain_time_s(fn, *args, iters, trials=3):
+    def run(*a):
+        def body(c, _):
+            y = fn(a[0] * c, *a[1:])
+            return 1.0 + jnp.mean(y).astype(jnp.float32) * 1e-20, None
 
-
-def chain_time_us(apply_fn, params, x, iters=K):
-    def body(carry, _):
-        c = carry
-        y = apply_fn(params, x * c)
-        return 1.0 + jnp.mean(y).astype(jnp.float32) * 1e-20, None
-
-    @jax.jit
-    def run():
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
         return c
 
-    return timed(run, iters)
+    jfn = jax.jit(run)
+    float(jfn(*args))  # compile + warmup
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(jfn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def per_iter_us(fn, *args, iters=K):
+    t1 = chain_time_s(fn, *args, iters=iters)
+    t2 = chain_time_s(fn, *args, iters=2 * iters)
+    return (t2 - t1) / iters * 1e6
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
     key = jax.random.PRNGKey(0)
 
-    # full decode at the flagship shape
+    # full decode at the flagship shape (scale latents, not int codes)
     codec = EncodecCodec()
     codes = jax.random.randint(key, (B, 8, T), 0, 1024)
     params = jax.jit(
         lambda r: codec.init(r, jnp.zeros((1, 3200)), 6.0))(key)
 
-    def body(carry, _):
-        wav = codec.apply(params, codes, method=EncodecCodec.decode)
-        return carry + jnp.mean(wav).astype(jnp.float32) * 1e-20, None
+    def decode_fn(scale, p, c):
+        # the decode must DEPEND on the chained carry or XLA hoists it out
+        # of the timing loop: perturb the codes by a runtime-zero int
+        zero = jnp.int32(scale[0, 0] * 1e-38)  # runtime 0, not foldable
+        wav = codec.apply(p, jnp.clip(c + zero, 0, 1023),
+                          method=EncodecCodec.decode)
+        return wav
 
-    @jax.jit
-    def run_decode():
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=5)
-        return c
-
-    us = timed(run_decode, 5)
+    us = per_iter_us(lambda s, p, c: decode_fn(s, p, c),
+                     jnp.ones((1, 1)), params, codes, iters=4)
     print(f"full decode [8,8,900]: {us / 1e3:.2f} ms", flush=True)
 
     # the decoder LSTM block alone (2 layers + residual) at [B, 900, 512]
     x = jax.random.normal(key, (B, T, H), jnp.float32)
     lstm = CodecLSTM(hidden=H)
     lp = lstm.init(key, x)
-    us = chain_time_us(lambda p, xx: lstm.apply(p, xx), lp, x)
+    us = per_iter_us(lambda xx, p: lstm.apply(p, xx), x, lp)
     print(f"CodecLSTM 2-layer scan [8,900,512]: {us / 1e3:.2f} ms",
           flush=True)
 
-    # single recurrence: scan vs pallas kernel, f32
+    # single recurrence: scan vs pallas kernels, f32
     w_hh = jax.random.normal(key, (H, 4 * H), jnp.float32) * 0.02
     xp = jax.random.normal(key, (T, B, 4 * H), jnp.float32)
 
@@ -92,49 +97,27 @@ def main():
         _, hs = jax.lax.scan(step, init, xp, unroll=8)
         return hs
 
-    for name, fn in [
-        ("scan f32", lambda xx, ww: scan_rec(xx, ww)),
-        ("scan bf16", lambda xx, ww: scan_rec(
-            xx.astype(jnp.bfloat16), ww.astype(jnp.bfloat16))),
-    ]:
-        def body2(carry, _, fn=fn):
-            hs = fn(xp * carry, w_hh)
-            return 1.0 + jnp.mean(hs).astype(jnp.float32) * 1e-20, None
-
-        @jax.jit
-        def run2():
-            c, _ = jax.lax.scan(body2, jnp.float32(1.0), None, length=K)
-            return c
-
-        us = timed(run2, K)
-        print(f"recurrence {name} [900 steps]: {us / 1e3:.2f} ms "
-              f"({us / T:.2f} us/step)", flush=True)
+    us = per_iter_us(lambda xx, ww: scan_rec(xx, ww), xp, w_hh)
+    print(f"recurrence scan f32 [900 steps]: {us / 1e3:.2f} ms "
+          f"({us / T:.2f} us/step)", flush=True)
 
     try:
         from prompt_tts_tpu.ops.pallas.lstm import lstm_recurrence
-
-        def body3(carry, _):
-            hs = lstm_recurrence(xp * carry, w_hh)
-            return 1.0 + jnp.mean(hs).astype(jnp.float32) * 1e-20, None
-
-        @jax.jit
-        def run3():
-            c, _ = jax.lax.scan(body3, jnp.float32(1.0), None, length=K)
-            return c
-
-        us = timed(run3, K)
-        print(f"recurrence pallas [900 steps]: {us / 1e3:.2f} ms "
+        us = per_iter_us(lambda xx, ww: lstm_recurrence(xx, ww), xp, w_hh)
+        print(f"recurrence pallas v1 [900 steps]: {us / 1e3:.2f} ms "
               f"({us / T:.2f} us/step)", flush=True)
     except Exception as e:
-        print("pallas recurrence failed:", e, flush=True)
+        print("pallas v1 failed:", e, flush=True)
 
-    # numerics probe: bf16 recurrence error vs f32 over 900 steps
-    hs32 = scan_rec(xp, w_hh)
-    hs16 = scan_rec(xp.astype(jnp.bfloat16),
-                    w_hh.astype(jnp.bfloat16)).astype(jnp.float32)
-    err = jnp.max(jnp.abs(hs32 - hs16))
-    print(f"bf16 recurrence max abs err vs f32: {float(err):.3e}",
-          flush=True)
+    try:
+        from prompt_tts_tpu.ops.pallas.lstm import lstm_recurrence_t
+        # same x layout as v1; w_hh in torch layout [4H, H]
+        us = per_iter_us(
+            lambda xx, ww: lstm_recurrence_t(xx, ww), xp, w_hh.T)
+        print(f"recurrence pallas vT [900 steps]: {us / 1e3:.2f} ms "
+              f"({us / T:.2f} us/step)", flush=True)
+    except Exception as e:
+        print("pallas vT failed:", e, flush=True)
 
 
 if __name__ == "__main__":

@@ -1,16 +1,14 @@
 """Component-wise UNet timing at flagship shapes (real TPU).
 
-Measurement methodology (this dev setup tunnels device dispatch over an
-HTTP RPC with a large fixed per-execution cost):
-  * K chained iterations of the op inside ONE jitted ``lax.scan`` — a
-    single dispatch — with a scalar data dependency between iterations so
-    XLA cannot hoist the body;
-  * all arrays passed as jit ARGUMENTS (closed-over arrays become
-    constants embedded in the uploaded program — the full UNet's f32
-    params overflowed the remote-compile request at 1 GB);
-  * K large enough (400) that the per-execution RPC floor (~25 ms) is
-    amortized to noise, plus an identity-op calibration row measuring the
-    harness floor itself.
+Measurement methodology (validated against a 4096^3 matmul chain hitting
+~96% of v5e bf16 peak):
+  * K chained iterations of the op inside ONE jitted ``lax.scan`` with a
+    scalar data dependency between iterations so XLA cannot hoist the body;
+  * the result is pulled to the HOST (``float(out)``) — through this dev
+    setup's axon relay ``block_until_ready`` returns without waiting, so
+    device-side "timings" without a host read are fiction;
+  * each op is timed at depth K and 2K and the per-iteration time is the
+    DIFFERENCE / K — the ~25-30 ms fixed RPC+read floor cancels exactly.
 
 Run: python -u tools/abl_unet.py   (background, 1500s+ budget)
 """
@@ -27,15 +25,14 @@ from prompt_tts_tpu.models.unet1d import (
 )
 
 B = 8
-K = 400
+K = 50
 DT = jnp.bfloat16
 CFG = ModelConfig()
 
 
-def device_time_us(apply_fn, params, x, *rest, iters=K):
-    """Device time per iteration: K chained applies in one jit."""
+def chain_time_s(apply_fn, params, x, *rest, iters):
+    """Wall time of K chained applies in one jit, host-read included."""
 
-    @jax.jit
     def run(p, xx, *rr):
         def body(c, _):
             y = apply_fn(p, xx * c, *rr)
@@ -44,13 +41,21 @@ def device_time_us(apply_fn, params, x, *rest, iters=K):
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
         return c
 
-    out = run(params, x, *rest)
-    jax.block_until_ready(out)  # compile + warmup
-    t0 = time.perf_counter()
-    out = run(params, x, *rest)
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
-    return (t1 - t0) / iters * 1e6
+    fn = jax.jit(run)
+    float(fn(params, x, *rest))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(params, x, *rest))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def device_time_us(apply_fn, params, x, *rest, iters=K):
+    """Per-iteration device time via the 2K-vs-K difference."""
+    t1 = chain_time_s(apply_fn, params, x, *rest, iters=iters)
+    t2 = chain_time_s(apply_fn, params, x, *rest, iters=2 * iters)
+    return (t2 - t1) / iters * 1e6
 
 
 def time_module(mod, x, *rest):
@@ -65,11 +70,6 @@ def main():
     temb = jax.random.normal(key, (B, 1024), DT)
     ctx = jax.random.normal(key, (B, 550, 768), DT)
 
-    # calibration: harness floor (x*c + mean only)
-    x0 = jax.random.normal(key, (B, 900, 256), DT)
-    floor = device_time_us(lambda p, xx: xx, {}, x0)
-    print(f"harness floor (identity op): {floor:.1f} us", flush=True)
-
     points = [(900, 256), (450, 512), (225, 768), (113, 768)]
     for T, C in points:
         x = jax.random.normal(key, (B, T, C), DT)
@@ -81,8 +81,7 @@ def main():
         x2 = jax.random.normal(key, (B, T, 2 * C), DT)
         r2 = time_module(ResnetBlock1D(out_channels=C, dtype=DT), x2, temb)
         print(f"T={T:4d} C={C:3d}: resnet={r:7.1f} transformer={s:7.1f} "
-              f"up-resnet2C={r2:7.1f}  (us, incl. ~{floor:.0f}us floor)",
-              flush=True)
+              f"up-resnet2C={r2:7.1f}  us", flush=True)
 
     x = jax.random.normal(key, (B, 900, 256), DT)
     d = time_module(Downsample1D(256, dtype=DT), x)
@@ -96,7 +95,7 @@ def main():
     params = jax.jit(model.init)(key, sample, t, ctx)
     full = device_time_us(
         lambda p, s_, t_, c_: model.apply(p, s_, t_, c_),
-        params, sample, t, ctx, iters=100)
+        params, sample, t, ctx, iters=10)
     print(f"full UNet forward: {full / 1e3:.3f} ms", flush=True)
 
 

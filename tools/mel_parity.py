@@ -10,9 +10,14 @@ over a set of speech-like synthetic clips (harmonic stacks with pitch/
 amplitude modulation + breath noise), and reports the mel distance between
 the two decodes per clip.
 
-Run: python -u tools/mel_parity.py   (CPU, ~2 min)
+``--codec_dtype bf16`` measures the Synthesizer's bf16 fast-decode path
+against the same torch f32 reference (the disclosed fidelity delta of the
+default synthesis configuration; BENCHMARKS.md records both).
+
+Run: python -u tools/mel_parity.py [--codec_dtype f32|bf16]  (CPU, ~2 min)
 """
 
+import argparse
 import json
 
 import numpy as np
@@ -30,6 +35,10 @@ def speechlike_clip(rng, seconds=2.0, sr=24000):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codec_dtype", choices=("f32", "bf16"), default="f32")
+    args = ap.parse_args()
+
     import torch
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -45,7 +54,9 @@ def main():
         for layer in tm.quantizer.layers:
             layer.codebook.embed.normal_()
     params = convert_torch_encodec(tm)
-    codec = EncodecCodec()
+    dt = jnp.float32 if args.codec_dtype == "f32" else jnp.bfloat16
+    codec = EncodecCodec(dtype=dt)
+    encoder_codec = EncodecCodec()  # encode (code generation) stays f32
 
     rng = np.random.default_rng(0)
     clips = [speechlike_clip(rng) for _ in range(8)]
@@ -53,11 +64,13 @@ def main():
     dists, decode_mads = [], []
     for i, clip in enumerate(clips):
         wav = jnp.asarray(clip)[None]
-        codes = codec.apply(params, wav, 6.0, method=EncodecCodec.encode)
+        codes = encoder_codec.apply(params, wav, 6.0,
+                                    method=EncodecCodec.encode)
         codes = np.asarray(codes)  # [1, 8, F]
 
         ours = np.asarray(codec.apply(params, jnp.asarray(codes),
-                                      method=EncodecCodec.decode))[0]
+                                      method=EncodecCodec.decode)
+                          .astype(jnp.float32))[0]
         with torch.no_grad():
             theirs = tm.decode(
                 torch.from_numpy(codes.copy())[None], [None]
@@ -71,6 +84,7 @@ def main():
 
     print(json.dumps({
         "metric": "codec_decode_mel_distance_vs_torch",
+        "codec_dtype": args.codec_dtype,
         "value": round(float(np.mean(dists)), 6),
         "max": round(float(np.max(dists)), 6),
         "clips": len(clips),
