@@ -26,7 +26,10 @@ def parse_args(argv=None):
                    help="Converted codec weights (msgpack).")
     p.add_argument("--config_file", type=str, default=None)
     p.add_argument("--steps", type=int, default=50,
-                   help="DDIM inference steps.")
+                   help="Sampler inference steps.")
+    p.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                   help="ddim (reference 50-step config) or dpm "
+                        "(DPM-Solver++(2M): ~20-25 steps suffice).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prompt_wav", type=str, default=None,
                    help="Reference-audio prompt (24 kHz wav) for a "
@@ -88,6 +91,7 @@ def main(argv=None):
         model_params=model_params,
         codec_params=codec_params,
         num_inference_steps=args.steps,
+        sampler=args.sampler,
     )
     prompt_wav = None
     if args.prompt_wav:

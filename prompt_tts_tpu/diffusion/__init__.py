@@ -15,6 +15,7 @@ from prompt_tts_tpu.diffusion.schedule import (
 )
 from prompt_tts_tpu.diffusion.ddim import ddim_sample, ddim_timesteps
 from prompt_tts_tpu.diffusion.ddpm import ddpm_sample
+from prompt_tts_tpu.diffusion.dpm import dpm_solver_sample
 
 __all__ = [
     "DiffusionSchedule",
@@ -24,4 +25,5 @@ __all__ = [
     "ddim_sample",
     "ddim_timesteps",
     "ddpm_sample",
+    "dpm_solver_sample",
 ]

@@ -17,7 +17,8 @@ import numpy as np
 
 from prompt_tts_tpu.codec import EncodecCodec
 from prompt_tts_tpu.config import Config
-from prompt_tts_tpu.diffusion import ddim_sample, linear_schedule
+from prompt_tts_tpu.diffusion import (ddim_sample, dpm_solver_sample,
+                                      linear_schedule)
 from prompt_tts_tpu.frontend.tokenizer import Tokenizer
 from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
 
@@ -77,10 +78,17 @@ class Synthesizer:
         codec_params=None,
         num_inference_steps: int = 50,
         guidance_scale: float = 1.0,
+        sampler: str = "ddim",
         dtype=jnp.bfloat16,
         codec_dtype=jnp.float32,
         rng: Optional[jax.Array] = None,
     ):
+        # sampler: "ddim" (50-step reference configuration) or "dpm"
+        # (DPM-Solver++(2M): comparable quality at ~20-25 steps, ~2x
+        # cheaper synthesis).
+        if sampler not in ("ddim", "dpm"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler = sampler
         # guidance_scale > 1 enables classifier-free guidance (the model
         # should have been trained with train.cond_dropout_prob > 0).
         # Currently supported for the single-speaker model only; the
@@ -171,9 +179,14 @@ class Synthesizer:
                                         cross_kv=kv,
                                         method=TTSSingleSpeaker.denoise)
 
-        latents = ddim_sample(
-            denoise, self.schedule, x_T,
-            num_inference_steps=self.num_inference_steps)
+        if self.sampler == "dpm":
+            latents = dpm_solver_sample(
+                denoise, self.schedule, x_T,
+                num_inference_steps=self.num_inference_steps)
+        else:
+            latents = ddim_sample(
+                denoise, self.schedule, x_T,
+                num_inference_steps=self.num_inference_steps)
         codes = latents_to_codes(latents)
         wav = self._codec_fast.apply(codec_params, codes,
                                      method=EncodecCodec.decode)

@@ -15,6 +15,7 @@ from prompt_tts_tpu.diffusion import (
     ddim_sample,
     ddim_timesteps,
     ddpm_sample,
+    dpm_solver_sample,
     linear_schedule,
 )
 from prompt_tts_tpu.diffusion.schedule import predict_x0_from_eps, snr
@@ -102,6 +103,50 @@ class TestSamplers:
     def test_ddim_eta_requires_rng(self, sched):
         with pytest.raises(ValueError):
             ddim_sample(lambda x, t: x, sched, jnp.zeros((1, 2, 4)), eta=0.5)
+
+    def test_dpm_solver_recovers_x0_with_oracle(self, sched):
+        """DPM-Solver++(2M) at 20 steps must recover x0 from an oracle
+        eps-predictor at least as well as 50-step DDIM does."""
+        x0_true = jnp.clip(
+            jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16)) * 0.5,
+            -1.0, 1.0,
+        )
+        acp = sched.alphas_cumprod
+
+        def oracle(x, t):
+            a = acp[t].reshape(-1, 1, 1)
+            return (x - jnp.sqrt(a) * x0_true) / jnp.sqrt(1.0 - a)
+
+        x_T = add_noise(
+            sched, x0_true,
+            jax.random.normal(jax.random.PRNGKey(3), x0_true.shape),
+            jnp.full((2,), 999),
+        )
+        out = dpm_solver_sample(oracle, sched, x_T, num_inference_steps=20)
+        np.testing.assert_allclose(out, x0_true, atol=5e-3)
+
+    def test_dpm_solver_jits_and_is_deterministic(self, sched):
+        def denoise(x, t):
+            return 0.1 * x
+
+        f = jax.jit(lambda x: dpm_solver_sample(
+            denoise, sched, x, num_inference_steps=12))
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 16))
+        out1, out2 = f(x), f(x)
+        np.testing.assert_array_equal(out1, out2)
+        assert out1.shape == x.shape
+        assert bool(jnp.isfinite(out1).all())
+
+    def test_dpm_solver_small_step_counts(self, sched):
+        """N=1 and N=2 exercise the forced-first-order edges."""
+        def denoise(x, t):
+            return 0.05 * x
+
+        x = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 8))
+        for n in (1, 2, 3):
+            out = dpm_solver_sample(denoise, sched, x, num_inference_steps=n)
+            assert out.shape == x.shape
+            assert bool(jnp.isfinite(out).all()), n
 
     def test_ddpm_oracle(self, sched):
         x0_true = jnp.clip(
