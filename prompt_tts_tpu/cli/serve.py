@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--codec_params", type=str, default=None)
     p.add_argument("--config_file", type=str, default=None)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
+                   help="dpm = DPM-Solver++(2M): ~20-25 steps suffice.")
     p.add_argument("--max_batch", type=int, default=8,
                    help="Static device batch size.")
     p.add_argument("--batch_window_ms", type=int, default=30,
@@ -125,6 +127,7 @@ def main(argv=None):
         config = cfg
 
     synth = Synthesizer(config=config, model_params=model_params,
+                        sampler=args.sampler,
                         codec_params=codec_params,
                         num_inference_steps=args.steps)
     logging.info("warming up (compiling the device program)...")

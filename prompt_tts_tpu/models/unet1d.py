@@ -450,9 +450,11 @@ def cross_attention_kv(unet_params: dict, context: jnp.ndarray,
     """Precompute every cross-attention (k, v) for a fixed ``context``.
 
     The DDIM sampler's context is loop-invariant, so the ``to_k``/``to_v``
-    projections — ~25% of the UNet's matmul FLOPs — need to run once per
-    utterance instead of once per denoising step.  Returns the ``cross_kv``
-    dict ``UNet1DCondition.__call__`` accepts:
+    projections (~57 GFLOP per denoise step) can run once per utterance.
+    (Measured end-to-end neutral on v5e — XLA hoists scan-invariant work
+    itself — but this makes the invariant explicit and reusable across
+    calls.)  Returns the ``cross_kv`` dict ``UNet1DCondition.__call__``
+    accepts:
     ``{block: {attn: [(k, v)] per transformer layer}}`` with k/v shaped
     ``[B, S, heads, head_dim]`` in ``dtype``.
 

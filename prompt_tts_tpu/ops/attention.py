@@ -73,15 +73,18 @@ def scaled_dot_product_attention(
 
 
 def _use_pallas(q, k, v, bias) -> bool:
-    # Measured on v5e at this model's shapes (honest chained-difference
-    # timing, tools/abl_attention.py round 2 — the round-1 numbers that
-    # favored XLA were async-relay artifacts): the fused kernel wins at
-    # the long-sequence levels (Tq=900: 394us vs XLA's 681 self / 452
-    # cross) and is a wash or slightly behind at Tq<=450.  auto enables it
-    # for Tq >= 512 on bf16 inputs; f32 inputs keep the XLA path so the
-    # f32 golden-parity contract is untouched (the kernel does its matmuls
-    # in bf16 with f32 accumulate/softmax — same numerics class as the
-    # bf16 XLA path).  PROMPT_TTS_TPU_ATTN=pallas|xla overrides.
+    # Measured on v5e (honest chained-difference timing, round 2).  The
+    # fused kernel wins STANDALONE at Tq=900 (467us vs XLA's 732 self /
+    # 371 vs 435 cross), but IN CONTEXT — inside the full denoise step —
+    # the XLA path wins (9.86 ms/step vs 10.13 with the kernel, even
+    # after moving the kernel to the native [B,T,H*D] layout with heads
+    # sliced inside): XLA fuses attention with the surrounding
+    # projections better than any hand-scheduled boundary can make up
+    # for, and at T<=900 the bf16 score tensors still fit its fusion
+    # budget.  auto therefore keeps XLA for everything this model runs
+    # and reserves the kernel for genuinely long sequences where the
+    # [B,H,Tq,Tk] scores stop being fusible.
+    # PROMPT_TTS_TPU_ATTN=pallas|xla overrides.
     import os
     mode = os.environ.get("PROMPT_TTS_TPU_ATTN", "auto")
     if mode == "xla" or not _on_tpu():
@@ -93,5 +96,4 @@ def _use_pallas(q, k, v, bias) -> bool:
         return False
     if mode == "pallas":
         return Tq >= 128 and Tk >= 128 and D <= 128
-    return (q.dtype == jnp.bfloat16 and Tq >= 512 and Tk >= 128
-            and D <= 128)
+    return Tq >= 2048 and Tk >= 2048 and D <= 128

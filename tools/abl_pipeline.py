@@ -61,44 +61,46 @@ def main():
                             method=TTSSingleSpeaker.encode_text)
     kv = synth._cross_kv(mp, ctx)
 
-    def step_hoisted(xx):
-        return synth.model.apply(mp, xx, t, ctx, cross_kv=kv,
+    # kv/ctx/params go in as jit ARGUMENTS — closed-over arrays become
+    # program constants and the ~150 MB kv dict chokes the remote compile.
+    def step_hoisted(xx, mp_, ctx_, kv_):
+        return synth.model.apply(mp_, xx, t, ctx_, cross_kv=kv_,
                                  method=TTSSingleSpeaker.denoise)
 
-    def step_inline(xx):
-        return synth.model.apply(mp, xx, t, ctx,
+    def step_inline(xx, mp_, ctx_):
+        return synth.model.apply(mp_, xx, t, ctx_,
                                  method=TTSSingleSpeaker.denoise)
 
-    ms = per_iter_ms(step_hoisted, x, iters=40)
+    ms = per_iter_ms(step_hoisted, x, mp, ctx, kv, iters=40)
     print(f"denoise step (hoisted kv): {ms:.2f} ms", flush=True)
-    ms = per_iter_ms(step_inline, x, iters=40)
+    ms = per_iter_ms(step_inline, x, mp, ctx, iters=40)
     print(f"denoise step (inline kv):  {ms:.2f} ms", flush=True)
 
-    def cond(ids_f):
-        c = synth.model.apply(mp, ids_f.astype(jnp.int32), mask,
+    def cond(ids_f, mp_):
+        c = synth.model.apply(mp_, ids_f.astype(jnp.int32), mask,
                               method=TTSSingleSpeaker.encode_text)
-        kv2 = synth._cross_kv(mp, c)
+        kv2 = synth._cross_kv(mp_, c)
         leaves = jax.tree_util.tree_leaves(kv2)
         return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
-    ms = per_iter_ms(cond, ids.astype(jnp.float32), iters=20)
+    ms = per_iter_ms(cond, ids.astype(jnp.float32), mp, iters=20)
     print(f"conditioning (text enc + hoist): {ms:.2f} ms", flush=True)
 
     codes = jax.random.randint(jax.random.PRNGKey(1), (8, 8, 900), 0, 1024)
 
-    def dec(scale):
+    def dec(scale, cp_):
         zero = jnp.int32(scale[0, 0] * 1e-38)
-        return synth._codec_fast.apply(cp, jnp.clip(codes + zero, 0, 1023),
+        return synth._codec_fast.apply(cp_, jnp.clip(codes + zero, 0, 1023),
                                        method=EncodecCodec.decode)
 
-    ms = per_iter_ms(dec, jnp.ones((1, 1)), iters=8)
+    ms = per_iter_ms(dec, jnp.ones((1, 1)), cp, iters=8)
     print(f"codec decode: {ms:.2f} ms", flush=True)
 
-    def full(x0):
-        wav, _ = synth._synthesize_device(mp, cp, x0, ids, mask)
+    def full(x0, mp_, cp_):
+        wav, _ = synth._synthesize_device(mp_, cp_, x0, ids, mask)
         return wav
 
-    ms = per_iter_ms(full, x, iters=2)
+    ms = per_iter_ms(full, x, mp, cp, iters=2)
     print(f"full synthesis program: {ms:.2f} ms", flush=True)
 
 

@@ -2,13 +2,18 @@
 
 Measures, on the current device:
   * batch-8 50-step DDIM text->wav RTF (the headline, same as bench.py)
-  * single-utterance p50/p90 latency (batch 1, 50 steps, text->wav)
+  * single-utterance latency (batch 1, 50 steps, text->wav)
   * codec encode / decode throughput (audio-seconds per second)
   * flagship train step time (batch 32, bf16)
 
-Writes a JSON report to stdout and (optionally) BENCHMARKS.md.
+Methodology (round 2, matches bench.py/tools/abl_*.py): device-program
+numbers come from K-vs-2K chained ``lax.scan`` differences with a host
+value read (through the axon relay ``block_until_ready`` returns without
+waiting, so per-call timings without a host read are fiction); *_serving
+numbers are per-call with the full output pulled to the host (they include
+this dev harness's ~25-30 ms RPC floor).
 
-Usage: python tools/bench_suite.py [--out BENCHMARKS.md]
+Usage: python tools/bench_suite.py [--out BENCHMARKS.md] [--quick]
 """
 
 import argparse
@@ -17,103 +22,163 @@ import statistics
 import time
 
 
-def _time(fn, n=10, warmup=1):
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    times = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    return times
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--quick", action="store_true",
                    help="fewer timing iterations")
     args = p.parse_args()
-    n_iters = 3 if args.quick else 10
+    n_serving = 3 if args.quick else 5
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from prompt_tts_tpu.config import Config
+    from prompt_tts_tpu.codec import EncodecCodec
     from prompt_tts_tpu.data import SyntheticDataset
     from prompt_tts_tpu.diffusion.schedule import linear_schedule
-    from prompt_tts_tpu.pipeline import CodecRunner, Synthesizer
-    from prompt_tts_tpu.parallel.mesh import make_mesh, shard_batch
-    from prompt_tts_tpu.train import (
-        create_train_state, jit_train_step, make_train_step,
-    )
+    from prompt_tts_tpu.pipeline import Synthesizer
+    from prompt_tts_tpu.train import create_train_state, make_train_step
 
-    results = {"device": str(jax.devices()[0])}
+    results = {"device": str(jax.devices()[0]),
+               "methodology": "r2-chained-diff"}
     texts8 = ["The quick brown fox jumps over the lazy dog."] * 8
 
-    # --- batch-8 RTF + batch-1 latency ---
+    def chain_diff_s(make_body, k, *args, trials=3):
+        """Per-iteration seconds of `make_body(c, *args)` via the 2K-vs-K
+        chain.  Large arrays (params, batches) MUST flow through *args —
+        closed-over arrays become program constants and overflow the
+        remote compiler."""
+
+        def timed(iters):
+            @jax.jit
+            def run(*a):
+                def body(c, _):
+                    return make_body(c, *a), None
+
+                c, _ = jax.lax.scan(body, jnp.float32(1.0), None,
+                                    length=iters)
+                return c
+
+            float(run(*args))  # compile + warmup
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                float(run(*args))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(2 * k) - timed(k)) / k
+
+    # --- synthesis: batch 8 and batch 1 ---
     synth = Synthesizer(num_inference_steps=50)
-    times = _time(lambda: jnp.asarray(synth.synthesize(texts8)), n=n_iters)
-    rtf8 = 8 * 12.0 / statistics.median(times)
-    results["rtf_batch8_text_to_wav"] = round(rtf8, 1)
+    mcfg = synth.config.model
+    for bs, tag in ((8, "batch8"), (1, "batch1")):
+        ids, mask = synth.tokenizer.encode_batch(texts8[:bs])
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        x_T = jax.random.normal(
+            jax.random.PRNGKey(0), (bs, mcfg.sample_size, mcfg.in_channels))
 
-    times1 = _time(lambda: jnp.asarray(synth.synthesize(texts8[:1])),
-                   n=n_iters)
-    results["latency_p50_s_single_utt"] = round(
-        statistics.median(times1), 3)
-    results["latency_p90_s_single_utt"] = round(
-        sorted(times1)[int(0.9 * (len(times1) - 1))], 3)
-    results["rtf_batch1_text_to_wav"] = round(
-        12.0 / statistics.median(times1), 1)
+        def body(c, mp, cp, x0, ids_, mask_):
+            wav, _ = synth._synthesize_device(mp, cp, x0 * c, ids_, mask_)
+            return 1.0 + jnp.mean(wav).astype(jnp.float32) * 1e-20
 
-    # --- codec throughput (batch 8 x 12 s) ---
-    runner = CodecRunner(synth.codec_params)
-    wav = np.random.default_rng(0).normal(size=(8, 288000)).astype("f4")
-    t_enc = _time(lambda: jnp.asarray(runner.encode(wav)), n=n_iters)
-    results["codec_encode_xrt"] = round(96.0 / statistics.median(t_enc), 1)
-    codes = runner.encode(wav)
-    t_dec = _time(lambda: jnp.asarray(runner.decode(codes)), n=n_iters)
-    results["codec_decode_xrt"] = round(96.0 / statistics.median(t_dec), 1)
+        per_iter = chain_diff_s(body, 2, synth.model_params,
+                                synth.codec_params, x_T, ids, mask)
+        results[f"rtf_{tag}_text_to_wav"] = round(bs * 12.0 / per_iter, 1)
+        if bs == 1:
+            results["latency_s_single_utt_device"] = round(per_iter, 3)
 
-    # --- train step (flagship, batch 32, bf16) ---
+        # serving-style: per call incl. tokenize + host audio pull
+        times = []
+        for i in range(n_serving):
+            t0 = time.perf_counter()
+            w = synth.synthesize(texts8[:bs], seed=i)
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        results[f"rtf_{tag}_serving"] = round(bs * 12.0 / med, 1)
+        if bs == 1:
+            results["latency_s_single_utt_serving_p50"] = round(med, 3)
+            results["latency_s_single_utt_serving_p90"] = round(
+                sorted(times)[int(0.9 * (len(times) - 1))], 3)
+
+    # --- codec throughput (batch 8 x 12 s), device-program ---
+    codec = synth.codec
+    cp = synth.codec_params
+    wav8 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 288000)).astype("f4"))
+
+    def enc_body(c, cp_, w):
+        codes = codec.apply(cp_, w * c, 6.0, method=EncodecCodec.encode)
+        return 1.0 + jnp.sum(codes).astype(jnp.float32) * 1e-20
+
+    results["codec_encode_xrt"] = round(
+        96.0 / chain_diff_s(enc_body, 4, cp, wav8), 1)
+
+    codes8 = jax.random.randint(jax.random.PRNGKey(1), (8, 8, 900), 0, 1024)
+
+    def dec_body(c, cp_, codes_):
+        zero = jnp.int32(c * 1e-38)  # runtime 0: keeps decode in the chain
+        w = codec.apply(cp_, jnp.clip(codes_ + zero, 0, 1023),
+                        method=EncodecCodec.decode)
+        return 1.0 + jnp.mean(w).astype(jnp.float32) * 1e-20
+
+    results["codec_decode_xrt"] = round(
+        96.0 / chain_diff_s(dec_body, 4, cp, codes8), 1)
+
+    # --- train step (flagship, batch 32, bf16), device-program ---
     cfg = Config()
     from prompt_tts_tpu.models import TTSSingleSpeaker
     model = TTSSingleSpeaker(cfg.model, dtype=jnp.bfloat16)
     data = SyntheticDataset(n=64, frames=cfg.model.sample_size,
                             max_seq_length=cfg.model.cmu_seq_len)
-    batch = next(data.batches(32))
-    mesh = make_mesh()
+    batch = {k: jnp.asarray(v) for k, v in next(data.batches(32)).items()}
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.asarray(batch["codes"][:1]),
-        jnp.zeros((1,), jnp.int32), jnp.asarray(batch["text_ids"][:1]),
-        jnp.asarray(batch["text_mask"][:1]))
-    state = create_train_state(model, params, cfg.train, 1000)
-    step = jit_train_step(
-        make_train_step(model.apply, linear_schedule()), mesh)
-    sharded = shard_batch(batch, mesh)
-    rngs = [jax.random.PRNGKey(i) for i in range(n_iters + 1)]
+        jax.random.PRNGKey(0), batch["codes"][:1],
+        jnp.zeros((1,), jnp.int32), batch["text_ids"][:1],
+        batch["text_mask"][:1])
+    state0 = create_train_state(model, params, cfg.train, 1000)
+    train_step = make_train_step(model.apply, linear_schedule())
+    base_rng = jax.random.PRNGKey(7)
 
-    def one_step(i=[0]):
-        nonlocal state
-        state, m = step(state, sharded, rngs[i[0] % len(rngs)])
-        i[0] += 1
-        return m["loss"]
+    def train_chain_s(iters, trials=3):
+        @jax.jit
+        def run(state, batch_):
+            def body(carry, i):
+                st, _ = carry
+                st, m = train_step(st, batch_,
+                                   jax.random.fold_in(base_rng, i))
+                return (st, m["loss"]), None
 
-    t_tr = _time(one_step, n=n_iters)
-    results["train_step_s_batch32"] = round(statistics.median(t_tr), 3)
-    results["train_examples_per_s"] = round(
-        32 / statistics.median(t_tr), 1)
+            (st, loss), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0)), jnp.arange(iters))
+            return loss
+
+        float(run(state0, batch))
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(run(state0, batch))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k = 2 if args.quick else 4
+    step_s = (train_chain_s(2 * k) - train_chain_s(k)) / k
+    results["train_step_s_batch32"] = round(step_s, 3)
+    results["train_examples_per_s"] = round(32 / step_s, 1)
 
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
             f.write("# Benchmarks (one v5e chip, flagship 245M model)\n\n")
             f.write("| metric | value |\n|---|---|\n")
-            for k, v in results.items():
-                f.write(f"| {k} | {v} |\n")
-            f.write("\nGenerated by tools/bench_suite.py\n")
+            for key, v in results.items():
+                f.write(f"| {key} | {v} |\n")
+            f.write("\nGenerated by tools/bench_suite.py — device-program "
+                    "numbers via chained-difference timing; *_serving "
+                    "numbers are per-call incl. host transfers and this "
+                    "dev harness's ~25-30 ms RPC floor.\n")
 
 
 if __name__ == "__main__":
