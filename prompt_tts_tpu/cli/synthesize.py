@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--trim", action="store_true",
                    help="Trim trailing silence (energy-based; the model "
                         "always generates the full padded duration).")
+    p.add_argument("--long", action="store_true",
+                   help="Long-form mode: split the (single) --text into "
+                        "sentence-packed chunks, synthesize in batches, "
+                        "trim each chunk, concatenate into one wav.")
     return p.parse_args(argv)
 
 
@@ -46,7 +50,7 @@ def main(argv=None):
 
     from prompt_tts_tpu.config import Config
     from prompt_tts_tpu.pipeline import SAMPLE_RATE, Synthesizer
-    from prompt_tts_tpu.utils.wav import write_wav
+    from prompt_tts_tpu.utils.wav import trim_trailing_silence, write_wav
 
     config = Config.from_json(args.config_file) if args.config_file else None
 
@@ -102,32 +106,27 @@ def main(argv=None):
             from prompt_tts_tpu.utils.resample import resample
             audio = resample(audio, sr, SAMPLE_RATE)
         prompt_wav = np.tile(audio[None, :, 0], (len(args.text), 1))
+    if args.long:
+        if len(args.text) != 1:
+            raise SystemExit("--long takes exactly one --text")
+        wav = synth.synthesize_long(args.text[0], seed=args.seed,
+                                    prompt_wav=prompt_wav)
+        write_wav(args.out, wav, SAMPLE_RATE)
+        logging.info("wrote %s (%.2f s, %d chunks)", args.out,
+                     len(wav) / SAMPLE_RATE,
+                     len(synth.split_long_text(args.text[0])))
+        return
+
     wavs = synth.synthesize(args.text, seed=args.seed,
                             prompt_wav=prompt_wav)
 
     base, ext = os.path.splitext(args.out)
     for i, wav in enumerate(wavs):
         if args.trim:
-            wav = _trim_trailing_silence(wav)
+            wav = trim_trailing_silence(wav)
         path = args.out if len(wavs) == 1 else f"{base}_{i}{ext}"
         write_wav(path, wav, SAMPLE_RATE)
         logging.info("wrote %s (%.2f s)", path, len(wav) / SAMPLE_RATE)
-
-
-def _trim_trailing_silence(wav, frame: int = 1024, threshold_db: float = -40.0):
-    """Drop trailing frames whose RMS is below ``threshold_db`` of peak."""
-    import numpy as np
-    n = (len(wav) // frame) * frame
-    if n == 0:
-        return wav
-    frames = np.asarray(wav[:n]).reshape(-1, frame)
-    rms = np.sqrt((frames ** 2).mean(axis=1) + 1e-12)
-    floor = rms.max() * (10.0 ** (threshold_db / 20.0))
-    active = np.nonzero(rms > floor)[0]
-    if len(active) == 0:
-        return wav
-    end = min(len(wav), (active[-1] + 2) * frame)
-    return wav[:end]
 
 
 if __name__ == "__main__":

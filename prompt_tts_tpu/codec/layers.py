@@ -44,7 +44,15 @@ def reflect_pad(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
 
 
 class CodecConv1d(nn.Module):
-    """Causal conv with EnCodec padding (weight-norm already folded)."""
+    """Causal conv with EnCodec padding (weight-norm already folded).
+
+    Note (measured, round 2): a space-to-depth folded execution for the
+    long-T narrow-C decoder stages was tried and REVERTED — the per-conv
+    [B,T,C]->[B,T/F,F*C] reshape is a real relayout on TPU tiled memory
+    and cost more than the recovered lanes (resnet-64 stage 2x slower);
+    folding a whole region instead conflicts with per-conv REFLECT
+    padding (zero-fill folded halos change the first k-1 samples).
+    """
 
     out_channels: int
     kernel_size: int
@@ -96,20 +104,22 @@ class CodecLSTM(nn.Module):
     """2-layer LSTM + residual, torch gate semantics.
 
     TPU shaping: the input projection ``x @ W_ih^T`` for ALL timesteps is
-    one big MXU matmul outside the recurrence.  On TPU the recurrence runs
-    as the fused Pallas kernel (weights VMEM-resident, one kernel for the
-    whole sequence — see prompt_tts_tpu.ops.pallas.lstm); elsewhere, or
-    when gradients are needed, it falls back to ``lax.scan``.
+    one big MXU matmul outside the recurrence.  The recurrence itself runs
+    as ``lax.scan`` (unroll=8) by default; ``use_pallas=True`` selects the
+    fused kernel (weights VMEM-resident, one kernel for the whole
+    sequence — prompt_tts_tpu.ops.pallas.lstm), which is bit-exact and a
+    measured wash at this model's shapes (see field comment).
     """
 
     hidden: int
     num_layers: int = 2
-    # The fused kernel wins on v5e: 0.84 us/step vs the scan's 1.15
-    # (honest chained-difference timing, tools/abl_codec.py round 2; the
-    # round-1 "kernel loses 4x" numbers were measurement artifacts of the
-    # async relay).  Bit-exact vs the scan, forward-only — the scan path
-    # remains for CPU and for gradients.
-    use_pallas: bool = True
+    # Standalone micro-timings flip between runs (pallas 0.84 vs scan
+    # 1.15 us/step one run, 1.27 vs 1.01 the next — environment noise);
+    # the decisive FULL-DECODE A/B is a wash (22.5-22.7 ms both ways,
+    # tools round 2).  Default to the simpler, differentiable scan; the
+    # bit-exact Pallas kernel stays selectable (use_pallas=True) for
+    # regimes where the recurrence dominates (e.g. much longer T).
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

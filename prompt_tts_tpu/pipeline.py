@@ -242,6 +242,90 @@ class Synthesizer:
             return wav, np.asarray(codes)
         return wav
 
+    def split_long_text(self, text: str) -> list:
+        """Split ``text`` into chunks whose token sequences fit the model.
+
+        Sentences (split on ``.!?;`` + whitespace) are greedily packed up
+        to ``cmu_seq_len`` tokens; a single overlong sentence is hard-split
+        on word boundaries.  The reference trains on <=550-token
+        utterances (train.py:164-165), so this is the faithful way to
+        run longer passages through the fixed-shape model.
+        """
+        import re
+        limit = self.config.model.cmu_seq_len
+        sentences = [s for s in re.split(r"(?<=[.!?;])\s+", text.strip())
+                     if s]
+
+        def n_tokens(t: str) -> int:
+            return len(self.tokenizer.ids(t))
+
+        # hard-split any single sentence that alone exceeds the limit
+        units: list = []
+        for s in sentences:
+            if n_tokens(s) <= limit:
+                units.append(s)
+                continue
+            words = s.split()
+            cur = ""
+            for w in words:
+                cand = (cur + " " + w).strip()
+                if cur and n_tokens(cand) > limit:
+                    units.append(cur)
+                    cur = w
+                else:
+                    cur = cand
+            if cur:
+                units.append(cur)
+
+        chunks: list = []
+        cur = ""
+        for u in units:
+            cand = (cur + " " + u).strip()
+            if cur and n_tokens(cand) > limit:
+                chunks.append(cur)
+                cur = u
+            else:
+                cur = cand
+        if cur:
+            chunks.append(cur)
+        return chunks or [""]
+
+    def synthesize_long(
+        self,
+        text: str,
+        seed: int = 0,
+        max_batch: int = 8,
+        trim_threshold_db: float = -40.0,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_codes: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Long-form synthesis: split -> batch-synthesize -> trim -> join.
+
+        Each chunk is synthesized in the model's fixed 12 s window;
+        trailing silence past the spoken content is trimmed per chunk
+        (``trim_threshold_db``; pass ``None`` to keep full windows) and
+        the chunks are concatenated into one waveform.
+        """
+        from prompt_tts_tpu.utils.wav import trim_trailing_silence
+        chunks = self.split_long_text(text)
+        pieces = []
+        for i in range(0, len(chunks), max_batch):
+            group = chunks[i:i + max_batch]
+            kw = {}
+            if self._prompted:
+                rep = lambda a: (None if a is None else
+                                 np.repeat(np.asarray(a)[:1], len(group), 0))
+                kw = dict(prompt_wav=rep(prompt_wav),
+                          prompt_codes=rep(prompt_codes))
+            wavs = self.synthesize(group, seed=seed + i, **kw)
+            for wav in wavs:
+                if trim_threshold_db is not None:
+                    wav = trim_trailing_silence(
+                        wav, threshold_db=trim_threshold_db)
+                pieces.append(wav)
+        return np.concatenate(pieces) if pieces else np.zeros(
+            0, dtype=np.float32)
+
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
         """int codes [B, n_q, T] -> wav (the decode_codec tool path)."""
         return self._codec_runner.decode(codes)

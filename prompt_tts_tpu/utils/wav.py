@@ -75,3 +75,23 @@ def read_wav(path_or_file) -> Tuple[np.ndarray, int]:
 
     audio = audio.reshape(-1, channels)
     return audio, sample_rate
+
+
+def trim_trailing_silence(wav: np.ndarray, frame: int = 1024,
+                          threshold_db: float = -40.0) -> np.ndarray:
+    """Drop trailing frames whose RMS is below ``threshold_db`` of peak.
+
+    Used by long-form synthesis to cut the padded tail each fixed-length
+    chunk carries (the model always emits its full 12 s window).
+    """
+    n = (len(wav) // frame) * frame
+    if n == 0:
+        return wav
+    frames = np.asarray(wav[:n]).reshape(-1, frame)
+    rms = np.sqrt((frames ** 2).mean(axis=1) + 1e-12)
+    floor = rms.max() * (10.0 ** (threshold_db / 20.0))
+    active = np.nonzero(rms > floor)[0]
+    if len(active) == 0:
+        return wav
+    end = min(len(wav), int(active[-1] + 2) * frame)
+    return wav[:end]

@@ -88,3 +88,64 @@ class TestSynthesizerSmoke:
         # encode_audio inverts shape-wise
         codes2 = synth.encode_audio(wav[:, : 10 * 320])
         assert codes2.shape == (2, 8, 10)
+
+
+class TestLongFormSynthesis:
+    def test_split_packs_sentences_within_token_limit(self):
+        cfg = Config(
+            model=ModelConfig(
+                block_out_channels=(32, 64, 64, 64), cross_attention_dim=64,
+                attention_head_dim=32, text_encoder_layers=1,
+                cmu_seq_len=64, sample_size=40, layers_per_block=1,
+                unet_num_heads=4),
+            train=TrainConfig(),
+        )
+        synth = Synthesizer(config=cfg, num_inference_steps=2,
+                            dtype=jnp.float32)
+        text = ("The first sentence. A second one follows! "
+                "Then a third; and a fourth? Finally the fifth.")
+        chunks = synth.split_long_text(text)
+        assert len(chunks) >= 2  # 64-token limit forces several chunks
+        # every chunk fits the model's token window
+        for c in chunks:
+            assert len(synth.tokenizer.ids(c)) <= cfg.model.cmu_seq_len
+        # no text lost (modulo injected whitespace)
+        assert " ".join(chunks).split() == text.split()
+
+    def test_overlong_single_sentence_is_hard_split(self):
+        cfg = Config(
+            model=ModelConfig(
+                block_out_channels=(32, 64, 64, 64), cross_attention_dim=64,
+                attention_head_dim=32, text_encoder_layers=1,
+                cmu_seq_len=64, sample_size=40, layers_per_block=1,
+                unet_num_heads=4),
+            train=TrainConfig(),
+        )
+        synth = Synthesizer(config=cfg, num_inference_steps=2,
+                            dtype=jnp.float32)
+        text = "word " * 60  # one "sentence", way past 64 tokens
+        chunks = synth.split_long_text(text)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert len(synth.tokenizer.ids(c)) <= cfg.model.cmu_seq_len
+
+    @pytest.mark.slow
+    def test_synthesize_long_end_to_end(self):
+        cfg = Config(
+            model=ModelConfig(
+                block_out_channels=(32, 64, 64, 64), cross_attention_dim=64,
+                attention_head_dim=32, text_encoder_layers=1,
+                cmu_seq_len=32, sample_size=20, layers_per_block=1,
+                unet_num_heads=4),
+            train=TrainConfig(),
+        )
+        synth = Synthesizer(config=cfg, num_inference_steps=2,
+                            dtype=jnp.float32)
+        text = "Hello there. General synthesis! Another sentence here."
+        wav = synth.synthesize_long(text, max_batch=2,
+                                    trim_threshold_db=None)
+        n_chunks = len(synth.split_long_text(text))
+        assert wav.ndim == 1
+        # untrimmed: exactly n_chunks full windows
+        assert len(wav) == n_chunks * cfg.model.sample_size * 320
+        assert np.isfinite(wav).all()
