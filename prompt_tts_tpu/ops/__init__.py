@@ -7,5 +7,6 @@ mesh).
 """
 
 from prompt_tts_tpu.ops.attention import scaled_dot_product_attention
+from prompt_tts_tpu.ops.ring_attention import ring_attention
 
-__all__ = ["scaled_dot_product_attention"]
+__all__ = ["scaled_dot_product_attention", "ring_attention"]
