@@ -35,13 +35,21 @@ def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
     ``cond_dropout_prob`` > 0 randomly nulls the text conditioning per
     sample (classifier-free guidance training).
     """
-    model_fn = apply_fn
     if remat:
+        # bind the static kwargs BEFORE jax.checkpoint: checkpoint treats
+        # every argument as dynamic, and a traced `deterministic` bool
+        # crashes flax Dropout's `if ... or deterministic:` whenever any
+        # dropout rate is non-zero (the flagship text encoder uses 0.1)
+        def _train_apply(params, *cond, rngs):
+            return apply_fn(params, *cond, deterministic=False, rngs=rngs)
+
         model_fn = jax.checkpoint(
-            apply_fn,
+            _train_apply,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            static_argnums=(),
         )
+    else:
+        def model_fn(params, *cond, rngs):
+            return apply_fn(params, *cond, deterministic=False, rngs=rngs)
 
     def loss_fn(params, batch, rng):
         codes = batch["codes"]
@@ -61,10 +69,7 @@ def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
         cond = (noisy, timesteps, text_ids, text_mask)
         if "prompt" in batch:  # prompt-conditioned (multi-speaker) model
             cond = cond + (batch["prompt"],)
-        pred = model_fn(
-            params, *cond,
-            deterministic=False, rngs={"dropout": rng_drop},
-        )
+        pred = model_fn(params, *cond, rngs={"dropout": rng_drop})
         loss = jnp.mean(
             (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
         return loss

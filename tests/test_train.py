@@ -90,6 +90,31 @@ class TestTrainStep:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
 
+    def test_remat_step_with_dropout(self, synth_data):
+        """--remat regression: jax.checkpoint must not trace the static
+        `deterministic` bool (flax Dropout crashes on a traced bool
+        whenever any dropout rate is non-zero — the flagship text encoder
+        uses 0.1, so this exact combination is the production one)."""
+        from dataclasses import replace
+        cfg = tiny_config()
+        model_cfg = replace(cfg.model, text_encoder_dropout=0.1)
+        mesh = make_mesh()
+        model = TTSSingleSpeaker(model_cfg)
+        sched = linear_schedule()
+        batch = next(synth_data.batches(8))
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["codes"][:1]), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(batch["text_ids"][:1]),
+            jnp.asarray(batch["text_mask"][:1]),
+        )
+        state = create_train_state(model, params, cfg.train, 1000)
+        step = jit_train_step(
+            make_train_step(model.apply, sched, remat=True), mesh)
+        state, m = step(state, shard_batch(batch, mesh),
+                        jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+
     def test_batch_sharded_over_data_axis(self, synth_data):
         mesh = make_mesh()
         assert mesh.devices.shape == (8, 1)
