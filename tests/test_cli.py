@@ -38,7 +38,7 @@ class TestArgParsing:
 
 class TestTrimHelper:
     def test_trims_trailing_silence(self):
-        from prompt_tts_tpu.cli.synthesize import _trim_trailing_silence
+        from prompt_tts_tpu.utils.wav import trim_trailing_silence as _trim_trailing_silence
         sr = 24000
         speech = np.sin(np.arange(sr) * 0.05).astype(np.float32)
         silence = np.zeros(sr, np.float32)
@@ -48,12 +48,12 @@ class TestTrimHelper:
         assert len(out) >= len(speech)
 
     def test_all_silence_untouched(self):
-        from prompt_tts_tpu.cli.synthesize import _trim_trailing_silence
+        from prompt_tts_tpu.utils.wav import trim_trailing_silence as _trim_trailing_silence
         wav = np.zeros(24000, np.float32)
         out = _trim_trailing_silence(wav)
         assert len(out) == len(wav)  # nothing active -> no trim
 
     def test_short_input(self):
-        from prompt_tts_tpu.cli.synthesize import _trim_trailing_silence
+        from prompt_tts_tpu.utils.wav import trim_trailing_silence as _trim_trailing_silence
         wav = np.ones(100, np.float32)
         assert len(_trim_trailing_silence(wav)) == 100
