@@ -27,9 +27,11 @@ def _xla_attention(
     scale = q.shape[-1] ** -0.5
     if q.dtype == jnp.bfloat16:
         # bf16 score storage with f32 exp/sum (flash-attention-style
-        # numerics): the [B,H,Tq,Tk] tensors stay bf16, halving the HBM
-        # traffic that dominates attention here (-22% UNet step time
-        # measured on v5e at [8,900]x[8,550]).
+        # numerics): the [B,H,Tq,Tk] tensors stay bf16, halving their
+        # HBM traffic.  (The round-1 "-22% UNet step" figure for this
+        # came from the broken relay timing; the path is kept because
+        # it is the production-numerics bf16 formulation and XLA fuses
+        # it well — see ARCHITECTURE.md scoreboard.)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         if bias is not None:
             s = s + bias.astype(s.dtype)

@@ -14,9 +14,13 @@ mask).  Richer biases fall back to the XLA path in the dispatcher.
 Backward runs as XLA recompute via ``jax.custom_vjp`` — training uses the
 (well-fused) XLA gradient while inference gets the fused forward.
 
-Measured (v5e, honest chained-difference timing, B=8 H=8 bf16): wins at
-Tq=900 — 394us vs XLA 681 (self, D=32) and 452 (cross Tk=550) — and is a
-wash at Tq<=450; the dispatcher enables it at Tq>=512 on bf16 inputs.
+Measured (v5e, honest chained-difference timing, B=8 H=8 bf16): the
+kernel wins STANDALONE at Tq=900 (467us vs XLA 732 self / 371 vs 435
+cross) but loses IN CONTEXT inside the full denoise step (10.13 ms/step
+vs 9.86 pure-XLA) — XLA fuses attention with the surrounding projections
+better than the kernel boundary can repay at these sizes.  The
+dispatcher therefore keeps XLA below Tq=2048 and reserves this kernel
+for long-sequence regimes (or PROMPT_TTS_TPU_ATTN=pallas).
 """
 
 import functools

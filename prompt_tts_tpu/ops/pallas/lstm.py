@@ -107,16 +107,15 @@ def _lstm_kernel_t(x_ref, w_ref, o_ref, ht_scr, c_scr, *, block_t: int):
     """Transposed-matmul grid step: stream W through the MXU, keep h^T
     stationary.
 
-    The v1 kernel's per-step ``dot(h [B,H], w [H,4H])`` is weight-
-    stationary: the MXU reloads all (H/128)x(4H/128) weight tiles every
-    timestep while streaming only B(=8) rows — tile loads dominate
-    (~64 tiles x ~128 cycles ~ 28 us/step at H=512, which matches the
-    measured XLA scan floor).  Computing ``gates^T = dot(w [4H,H],
-    h^T [H,B])`` instead makes the tiny state the stationary operand and
-    streams the 4H weight ROWS at 8/cycle: ~4 us/step in f32.
-
-    Elementwise gate math runs in the lane-friendly ``[B, 4H]`` layout
-    (two small VMEM transposes per step: gates^T -> gates, h -> h^T).
+    Hypothesis tested and REJECTED on v5e (honest chained timing, round
+    2): the idea was that ``dot(h [B,H], w [H,4H])`` is weight-
+    stationary-bound (tile reloads every step), so computing ``gates^T =
+    dot(w [4H,H], h^T [H,B])`` with the tiny state stationary should
+    win.  Measured: this variant runs ~2 us/step vs ~0.8-1.3 for the v1
+    kernel and ~1.0-1.2 for the XLA scan — MXU tile loads pipeline with
+    compute just fine, and the two per-step VMEM transposes this schedule
+    adds (gates^T -> gates, h -> h^T) cost more than they save.  Kept as
+    a documented negative result with its bit-exactness test.
     """
     step = pl.program_id(0)
 
