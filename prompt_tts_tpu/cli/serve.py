@@ -7,6 +7,13 @@ so concurrent callers share one device program invocation — the jitted
 program has a static batch size, so the server pads the batch and slices
 the results.
 
+Multi-speaker serving: start a prompt-conditioned model (config with
+``prompt_conditioning: true``) with ``--speakers DIR`` — every ``*.wav``
+in DIR is encoded ONCE at startup into fixed-length prompt codes and
+registered under its filename stem; requests pick one with
+``{"speaker": "name"}`` (default: first registered).  GET /speakers
+lists them.
+
 Stdlib-only (http.server + threading); model/codec params load the same
 way as the synthesize CLI.
 """
@@ -35,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_window_ms", type=int, default=30,
                    help="How long to wait to fill a batch.")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--speakers", type=str, default=None,
+                   help="Directory of reference *.wav files for a "
+                        "prompt-conditioned model; each is registered as "
+                        "a speaker under its filename stem.")
     return p.parse_args(argv)
 
 
@@ -46,24 +57,27 @@ class _Batcher:
     (each still gets distinct noise — the draw is per batch element).
     """
 
-    def __init__(self, synth, max_batch: int, window_s: float):
+    def __init__(self, synth, max_batch: int, window_s: float,
+                 prompted: bool = False):
         self.synth = synth
         self.max_batch = max_batch
         self.window_s = window_s
+        self.prompted = prompted
         self.q: "queue.Queue" = queue.Queue()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
-    def submit(self, text: str, seed: int):
+    def submit(self, text: str, seed: int, prompt_codes=None):
         done = threading.Event()
         slot = {"done": done}
-        self.q.put((text, seed, slot))
+        self.q.put((text, seed, prompt_codes, slot))
         return slot
 
     def _loop(self):
+        import numpy as np
         while True:
-            text, seed, slot = self.q.get()
-            batch = [(text, seed, slot)]
+            item = self.q.get()
+            batch = [item]
             deadline = time.monotonic() + self.window_s
             while len(batch) < self.max_batch:
                 timeout = deadline - time.monotonic()
@@ -76,13 +90,22 @@ class _Batcher:
             texts = [b[0] for b in batch]
             # pad to the static batch size so one compiled program serves all
             padded = texts + [""] * (self.max_batch - len(texts))
+            kw = {}
+            if self.prompted:
+                # per-request speaker prompts, zero-padded fill rows
+                prompts = [b[2] for b in batch]
+                fill = np.zeros_like(prompts[0])
+                prompts = prompts + [fill] * (self.max_batch - len(prompts))
+                kw["prompt_codes"] = np.stack(prompts)
             try:
-                wavs = self.synth.synthesize(padded, seed=batch[0][1])
-                for i, (_, _, s) in enumerate(batch):
+                wavs = self.synth.synthesize(padded, seed=batch[0][1], **kw)
+                for i, b in enumerate(batch):
+                    s = b[3]
                     s["wav"] = wavs[i]
                     s["done"].set()
             except Exception as e:  # noqa: BLE001 — report per request
-                for _, _, s in batch:
+                for b in batch:
+                    s = b[3]
                     s["error"] = str(e)
                     s["done"].set()
 
@@ -110,16 +133,21 @@ def main(argv=None):
     model_params = None
     if args.ckpt_dir:
         import jax.numpy as jnp
-        from prompt_tts_tpu.models import TTSSingleSpeaker
+        from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
         from prompt_tts_tpu.train.checkpoint import CheckpointManager
         from prompt_tts_tpu.train.state import create_train_state
         cfg = config or Config()
-        model = TTSSingleSpeaker(cfg.model)
+        prompted_cfg = cfg.model.prompt_conditioning
+        model_cls = TTSPromptSpeaker if prompted_cfg else TTSSingleSpeaker
+        model = model_cls(cfg.model)
         ids = jnp.zeros((1, cfg.model.cmu_seq_len), jnp.int32)
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
+        init_args = (
             jnp.zeros((1, cfg.model.sample_size, cfg.model.in_channels)),
             jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
+        if prompted_cfg:
+            init_args = init_args + (jnp.zeros(
+                (1, cfg.model.prompt_frames, cfg.model.in_channels)),)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
         state = create_train_state(model, params, cfg.train, 1)
         state, step = CheckpointManager(args.ckpt_dir).restore(state)
         logging.info("restored checkpoint at step %d", step)
@@ -130,11 +158,50 @@ def main(argv=None):
                         sampler=args.sampler,
                         codec_params=codec_params,
                         num_inference_steps=args.steps)
+
+    # --- speaker registry (prompt-conditioned models) ---
+    import numpy as np
+    speakers: dict = {}
+    if synth._prompted:
+        if not args.speakers:
+            raise SystemExit(
+                "prompt-conditioned model requires --speakers DIR")
+        import os
+        from prompt_tts_tpu.utils.wav import read_wav
+        from prompt_tts_tpu.utils.resample import resample
+        tp = synth.config.model.prompt_frames
+        n_q = synth.config.model.in_channels
+        for name in sorted(os.listdir(args.speakers)):
+            if not name.lower().endswith(".wav"):
+                continue
+            audio, sr = read_wav(os.path.join(args.speakers, name))
+            if sr != SAMPLE_RATE:
+                audio = resample(audio, sr, SAMPLE_RATE)
+            codes = synth.encode_audio(
+                np.asarray(audio[None, :, 0] if audio.ndim == 2
+                           else audio[None]))[0]        # [n_q, F]
+            fixed = np.zeros((n_q, tp), codes.dtype)
+            fixed[:, : min(tp, codes.shape[1])] = codes[:, :tp]
+            speakers[os.path.splitext(name)[0]] = fixed
+        if not speakers:
+            raise SystemExit(f"no *.wav files in {args.speakers}")
+        logging.info("registered %d speakers: %s", len(speakers),
+                     ", ".join(speakers))
+    elif args.speakers:
+        raise SystemExit(
+            "--speakers needs a prompt-conditioned model config")
+
     logging.info("warming up (compiling the device program)...")
-    synth.synthesize([""] * args.max_batch)
+    if synth._prompted:
+        first = next(iter(speakers.values()))
+        synth.synthesize([""] * args.max_batch,
+                         prompt_codes=np.stack([first] * args.max_batch))
+    else:
+        synth.synthesize([""] * args.max_batch)
     logging.info("ready")
 
-    batcher = _Batcher(synth, args.max_batch, args.batch_window_ms / 1e3)
+    batcher = _Batcher(synth, args.max_batch, args.batch_window_ms / 1e3,
+                       prompted=synth._prompted)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -149,7 +216,15 @@ def main(argv=None):
             except Exception as e:  # noqa: BLE001
                 self.send_error(400, f"bad request: {e}")
                 return
-            slot = batcher.submit(text, seed)
+            prompt = None
+            if speakers:
+                name = req.get("speaker", next(iter(speakers)))
+                if name not in speakers:
+                    self.send_error(
+                        400, f"unknown speaker {name!r}; see /speakers")
+                    return
+                prompt = speakers[name]
+            slot = batcher.submit(text, seed, prompt)
             slot["done"].wait(timeout=600)
             if "error" in slot:
                 self.send_error(500, slot["error"])
@@ -172,13 +247,16 @@ def main(argv=None):
         def do_GET(self):
             if self.path == "/healthz":
                 body = b'{"status": "ok"}'
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path == "/speakers":
+                body = json.dumps(sorted(speakers)).encode()
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def log_message(self, fmt, *fmt_args):
             logging.info("%s " + fmt, self.address_string(), *fmt_args)

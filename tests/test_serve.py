@@ -106,3 +106,90 @@ class TestServer:
     def test_unknown_path_404(self, server):
         status, _ = _post("/nope", "{}")
         assert status == 404
+
+
+PROMPTED_CONFIG = dict(TINY_CONFIG, prompt_conditioning=True,
+                       prompt_frames=8, prompt_encoder_layers=1,
+                       prompt_tokens=4)
+
+PORT2 = 8792
+
+
+@pytest.fixture(scope="module")
+def prompted_server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_prompted")
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(PROMPTED_CONFIG))
+    spk_dir = root / "speakers"
+    spk_dir.mkdir()
+    from prompt_tts_tpu.utils.wav import write_wav
+    rng = np.random.default_rng(0)
+    for name in ("alice", "bob"):
+        write_wav(str(spk_dir / f"{name}.wav"),
+                  (0.1 * rng.standard_normal(4800)).astype(np.float32),
+                  24000)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "prompt_tts_tpu.cli.serve",
+         "--cpu", "--steps", "2", "--max_batch", "2",
+         "--port", str(PORT2), "--config_file", str(cfg_path),
+         "--speakers", str(spk_dir), "--batch_window_ms", "50"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.time() + 420
+    ready = False
+    lines = []
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "serving on" in line:
+            ready = True
+            break
+        if proc.poll() is not None:
+            break
+    if not ready:
+        proc.kill()
+        pytest.fail("prompted server did not become ready:\n"
+                    + "".join(lines[-20:]))
+    yield proc
+    proc.kill()
+    proc.wait()
+
+
+def _get(path, port, timeout=30):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def _post_port(path, body, port, timeout=180):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+@pytest.mark.slow
+class TestPromptedServer:
+    def test_speakers_listed(self, prompted_server):
+        status, data = _get("/speakers", PORT2)
+        assert status == 200
+        assert json.loads(data) == ["alice", "bob"]
+
+    def test_synthesize_with_speaker(self, prompted_server):
+        status, data = _post_port(
+            "/synthesize",
+            json.dumps({"text": "hello", "speaker": "bob"}), PORT2)
+        assert status == 200
+        assert data[:4] == b"RIFF"  # a WAV came back
+
+    def test_unknown_speaker_rejected(self, prompted_server):
+        status, _ = _post_port(
+            "/synthesize",
+            json.dumps({"text": "hello", "speaker": "nobody"}), PORT2)
+        assert status == 400
