@@ -168,3 +168,39 @@ class TestRVQFusedWrapper:
         ref = rvq_encode(x, cb)
         out = rvq_encode_fused(x, cb, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestFusedResnet:
+    """ops/pallas/resnet.py — a measured-and-not-dispatched experiment;
+    the kernel must still equal the flax ResnetBlock1D exactly enough
+    (f32) so the scoreboard comparison stays meaningful."""
+
+    @pytest.mark.parametrize("cin,cout", [(32, 32), (64, 32)])
+    def test_matches_flax_block_interpret(self, cin, cout):
+        from jax.experimental.pallas import tpu as pltpu
+        from prompt_tts_tpu.models.unet1d import ResnetBlock1D
+        from prompt_tts_tpu.ops.pallas.resnet import fused_resnet_block
+
+        key = jax.random.PRNGKey(0)
+        B, T, groups = 2, 48, 8
+        x = jax.random.normal(key, (B, T, cin))
+        temb = jax.random.normal(jax.random.PRNGKey(1), (B, 16))
+        m = ResnetBlock1D(out_channels=cout, groups=groups)
+        p = m.init(key, x, temb)["params"]
+        ref = m.apply({"params": p}, x, temb)
+        tp = (jax.nn.silu(temb) @ p["time_emb_proj"]["kernel"]
+              + p["time_emb_proj"]["bias"])
+        kw = {}
+        if cin != cout:
+            kw = dict(shortcut_w=p["conv_shortcut"]["conv"]["kernel"][0],
+                      shortcut_b=p["conv_shortcut"]["conv"]["bias"])
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_resnet_block(
+                x, tp,
+                p["norm1"]["norm"]["scale"], p["norm1"]["norm"]["bias"],
+                p["conv1"]["conv"]["kernel"], p["conv1"]["conv"]["bias"],
+                p["norm2"]["norm"]["scale"], p["norm2"]["norm"]["bias"],
+                p["conv2"]["conv"]["kernel"], p["conv2"]["conv"]["bias"],
+                groups=groups, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
