@@ -13,8 +13,11 @@ import os
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Synthesize speech from text.")
-    p.add_argument("--text", action="append", required=True,
+    p.add_argument("--text", action="append", default=None,
                    help="Text to speak (repeatable for a batch).")
+    p.add_argument("--text_file", type=str, default=None,
+                   help="File with one utterance per line (alternative "
+                        "to --text; blank lines skipped).")
     p.add_argument("--out", type=str, required=True,
                    help="Output wav path (index appended for batches).")
     p.add_argument("--ckpt_dir", type=str, default=None,
@@ -47,6 +50,16 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+
+    if args.text_file:
+        if args.text:
+            raise SystemExit("pass --text or --text_file, not both")
+        with open(args.text_file) as f:
+            args.text = [ln.strip() for ln in f if ln.strip()]
+        if not args.text:
+            raise SystemExit(f"{args.text_file} has no utterances")
+    elif not args.text:
+        raise SystemExit("one of --text / --text_file is required")
 
     from prompt_tts_tpu.config import Config
     from prompt_tts_tpu.pipeline import SAMPLE_RATE, Synthesizer

@@ -57,3 +57,35 @@ class TestTrimHelper:
         from prompt_tts_tpu.utils.wav import trim_trailing_silence as _trim_trailing_silence
         wav = np.ones(100, np.float32)
         assert len(_trim_trailing_silence(wav)) == 100
+
+
+class TestTextFileInput:
+    def test_text_file_loads_lines(self, tmp_path):
+        from prompt_tts_tpu.cli import synthesize as syn
+        tf = tmp_path / "lines.txt"
+        tf.write_text("First utterance.\n\nSecond one.\n")
+        args = syn.parse_args(["--text_file", str(tf), "--out", "x.wav"])
+        assert args.text is None and args.text_file == str(tf)
+
+    def test_both_sources_rejected(self, tmp_path):
+        import pytest as _pytest
+        from prompt_tts_tpu.cli import synthesize as syn
+        tf = tmp_path / "lines.txt"
+        tf.write_text("hello\n")
+        with _pytest.raises(SystemExit):
+            syn.main(["--text", "a", "--text_file", str(tf),
+                      "--out", "x.wav"])
+
+    def test_neither_source_rejected(self):
+        import pytest as _pytest
+        from prompt_tts_tpu.cli import synthesize as syn
+        with _pytest.raises(SystemExit):
+            syn.main(["--out", "x.wav"])
+
+    def test_empty_file_rejected(self, tmp_path):
+        import pytest as _pytest
+        from prompt_tts_tpu.cli import synthesize as syn
+        tf = tmp_path / "empty.txt"
+        tf.write_text("\n\n")
+        with _pytest.raises(SystemExit):
+            syn.main(["--text_file", str(tf), "--out", "x.wav"])
