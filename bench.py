@@ -74,8 +74,16 @@ def main():
     def chain(iters):
         def run(mp, cp, x0, ids_, mask_):
             def body(c, _):
+                # EVERY input must depend on the carry or XLA hoists the
+                # consuming subgraph out of the chain (CLAUDE.md timing
+                # rule).  ``z`` is a runtime zero (c ~ 1.0, so c*1e-38
+                # truncates to int 0) that makes ids/mask — and therefore
+                # the text encoder + cross-attention KV projections —
+                # carry-dependent, so per-call conditioning cost is
+                # included in the difference, not amortized away.
+                z = (c * 1e-38).astype(jnp.int32)
                 w, _codes = synth._synthesize_device(
-                    mp, cp, x0 * c, ids_, mask_)
+                    mp, cp, x0 * c, ids_ + z, mask_ + z)
                 return 1.0 + jnp.mean(w).astype(jnp.float32) * 1e-20, None
 
             c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
@@ -84,9 +92,14 @@ def main():
         fn = jax.jit(run)
         float(fn(synth.model_params, synth.codec_params, x_T, ids, mask))
         best = float("inf")
-        for _ in range(3):
+        for trial in range(3):
+            # perturb one input per trial: repeated byte-identical
+            # executions through the axon relay can be served from a
+            # cache (CLAUDE.md), which would collapse min-of-3 to the
+            # RPC floor
+            x0 = x_T * (1.0 + 1e-6 * (trial + 1))
             t0 = time.perf_counter()
-            float(fn(synth.model_params, synth.codec_params, x_T, ids,
+            float(fn(synth.model_params, synth.codec_params, x0, ids,
                      mask))
             best = min(best, time.perf_counter() - t0)
         return best

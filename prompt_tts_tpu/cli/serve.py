@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_window_ms", type=int, default=30,
                    help="How long to wait to fill a batch.")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="Classifier-free guidance scale (>1 needs a "
+                        "model trained with cond_dropout_prob>0; "
+                        "works for both model families).")
     p.add_argument("--speakers", type=str, default=None,
                    help="Directory of reference *.wav files for a "
                         "prompt-conditioned model; each is registered as "
@@ -157,7 +161,8 @@ def main(argv=None):
     synth = Synthesizer(config=config, model_params=model_params,
                         sampler=args.sampler,
                         codec_params=codec_params,
-                        num_inference_steps=args.steps)
+                        num_inference_steps=args.steps,
+                        guidance_scale=args.guidance_scale)
 
     # --- speaker registry (prompt-conditioned models) ---
     import numpy as np
@@ -180,8 +185,15 @@ def main(argv=None):
             codes = synth.encode_audio(
                 np.asarray(audio[None, :, 0] if audio.ndim == 2
                            else audio[None]))[0]        # [n_q, F]
-            fixed = np.zeros((n_q, tp), codes.dtype)
-            fixed[:, : min(tp, codes.shape[1])] = codes[:, :tp]
+            # pad short references by REPEATING the last code frame: RVQ
+            # index 0 is a real codebook entry (arbitrary audio content,
+            # not silence), so zero-fill would inject garbage into the
+            # prompt conditioning
+            F = min(tp, codes.shape[1])
+            if F == 0:
+                raise SystemExit(f"speaker wav {name} is empty")
+            fixed = np.repeat(codes[:, F - 1:F], tp, axis=1)
+            fixed[:, :F] = codes[:, :F]
             speakers[os.path.splitext(name)[0]] = fixed
         if not speakers:
             raise SystemExit(f"no *.wav files in {args.speakers}")

@@ -63,9 +63,18 @@ def main():
 
             float(run(*args))  # compile + warmup
             best = float("inf")
-            for _ in range(trials):
+            for trial in range(trials):
+                # perturb one input per trial (batch-roll: same values,
+                # different bytes, identical compute): byte-identical
+                # re-executions can be served from the relay cache
+                # (CLAUDE.md), collapsing the min to the RPC floor
+                a = list(args)
+                for j, x in enumerate(a):
+                    if hasattr(x, "dtype") and getattr(x, "ndim", 0) > 0:
+                        a[j] = jnp.roll(x, trial, axis=0)
+                        break
                 t0 = time.perf_counter()
-                float(run(*args))
+                float(run(*a))
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -81,7 +90,13 @@ def main():
             jax.random.PRNGKey(0), (bs, mcfg.sample_size, mcfg.in_channels))
 
         def body(c, mp, cp, x0, ids_, mask_):
-            wav, _ = synth._synthesize_device(mp, cp, x0 * c, ids_, mask_)
+            # runtime zero makes ids/mask carry-dependent so the text
+            # encoder + cross-attn KV projections stay inside the chain
+            # (CLAUDE.md rule: EVERY consumed input must depend on the
+            # carry or XLA hoists the subgraph out of the scan)
+            z = (c * 1e-38).astype(jnp.int32)
+            wav, _ = synth._synthesize_device(mp, cp, x0 * c,
+                                              ids_ + z, mask_ + z)
             return 1.0 + jnp.mean(wav).astype(jnp.float32) * 1e-20
 
         per_iter = chain_diff_s(body, 2, synth.model_params,
