@@ -30,6 +30,11 @@ def parse_args(argv=None):
                    help="Tensor-parallel degree: size of the mesh 'model' "
                         "axis (params+moments Megatron-sharded over it; "
                         "the remaining devices form the 'data' axis).")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Sequence-parallel degree: size of the mesh 'seq' "
+                        "axis. Latent time is sharded over it (ring "
+                        "attention for self-attn, GSPMD halo exchange for "
+                        "convs); longer-audio regimes than one chip holds.")
     p.add_argument("--eval_every", type=int, default=0,
                    help="Run a deterministic eval pass (Loss/eval) every "
                         "N epochs (0 = never).")
@@ -51,6 +56,32 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def init_multihost():
+    """Multi-host SPMD init (the ``--multihost`` path).
+
+    On TPU pods ``jax.distributed.initialize()`` auto-detects coordinator
+    and process info from the pod environment (the SPMD replacement for
+    the reference's accelerate/NCCL launch, reference train.py:25-29).
+    The ``PTTS_COORDINATOR`` / ``PTTS_NUM_PROCESSES`` / ``PTTS_PROCESS_ID``
+    env vars override auto-detection for environments without a cluster
+    resolver (e.g. multi-process CPU — exercised by tests/test_multihost.py).
+    After init every process sees the global device set and rank-gates
+    host I/O on ``jax.process_index() == 0``.
+    """
+    import os
+
+    import jax
+    coord = os.environ.get("PTTS_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["PTTS_NUM_PROCESSES"]),
+            process_id=int(os.environ["PTTS_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+
+
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(
@@ -62,9 +93,7 @@ def main(argv=None):
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
     if args.multihost:
-        # multi-host SPMD: coordinator/process info comes from the TPU pod
-        # environment; every process then sees the global device set
-        jax.distributed.initialize()
+        init_multihost()
 
     import jax.numpy as jnp
     from prompt_tts_tpu.config import Config, ModelConfig, TrainConfig
@@ -111,6 +140,7 @@ def main(argv=None):
         log_dir=args.log_dir,
         ckpt_dir=args.ckpt_dir,
         n_model=args.tp,
+        n_seq=args.sp,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         remat=args.remat,
         profile_steps=args.profile_steps,

@@ -66,8 +66,15 @@ def scaled_dot_product_attention(
     """Attention over ``[B, T, H, D]`` tensors with optional additive bias.
 
     Dispatches to the fused Pallas kernel on TPU when profitable; the XLA
-    path is the semantic reference and the universal fallback.
+    path is the semantic reference and the universal fallback.  When a
+    sequence-parallel mesh is armed (parallel.sp.enable), self-attention
+    over divisible shapes runs as exact ring attention under shard_map.
     """
+    from prompt_tts_tpu.parallel import sp as _sp
+    if _sp.active_mesh() is not None:
+        out = _sp.maybe_ring_attention(q, k, v, bias)
+        if out is not None:
+            return out
     if _use_pallas(q, k, v, bias):
         from prompt_tts_tpu.ops.pallas.attention import flash_attention
         return flash_attention(q, k, v, bias=bias)

@@ -44,21 +44,19 @@ def ring_attention(
     B, Tq, H, D = q.shape
     qf = q.astype(jnp.float32)
 
-    def _vary(x):
-        # fresh constants are "unvarying" under shard_map's manual-axes
-        # tracking; the loop carry becomes sp-varying, so mark them
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            return pcast(x, (axis_name,), to="varying")
-        pvary = getattr(jax.lax, "pvary", None)
-        return pvary(x, (axis_name,)) if pvary is not None else x
-
-    m = _vary(jnp.full((B, H, Tq, 1), -jnp.inf, jnp.float32))  # running max
-    l = _vary(jnp.zeros((B, H, Tq, 1), jnp.float32))           # running sum
-    acc = _vary(jnp.zeros((B, H, Tq, D), jnp.float32))         # running out
+    # fresh constants are "unvarying" under shard_map's manual-axes (vma)
+    # tracking, but the loop carry becomes varying over every mesh axis q
+    # varies over (not just the ring axis — the enclosing shard_map may
+    # also shard batch/heads over data/model axes).  Deriving the initial
+    # stats arithmetically from the inputs gives them exactly the inputs'
+    # vma on any mesh, which keeps the fori_loop carry type consistent.
+    anchor = (qf * 0.0).sum()                    # scalar, varying like q
+    m = jnp.full((B, H, Tq, 1), -jnp.inf, jnp.float32) + anchor  # run. max
+    l = jnp.zeros((B, H, Tq, 1), jnp.float32) + anchor           # run. sum
+    acc = jnp.zeros((B, H, Tq, D), jnp.float32) + anchor         # run. out
 
     if key_bias is None:
-        key_bias = _vary(jnp.zeros(k.shape[:2], jnp.float32))
+        key_bias = k[:, :, 0, 0].astype(jnp.float32) * 0.0  # vma of k
 
     perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
 

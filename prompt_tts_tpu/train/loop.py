@@ -16,7 +16,10 @@ import jax.numpy as jnp
 from prompt_tts_tpu.config import Config
 from prompt_tts_tpu.diffusion.schedule import linear_schedule
 from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
-from prompt_tts_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_batch
+from prompt_tts_tpu.parallel import sp
+from prompt_tts_tpu.parallel.mesh import (
+    MODEL_AXIS, batch_key_sharding, make_mesh, seq_size, shard_batch,
+)
 from prompt_tts_tpu.parallel.tp import state_shardings
 from prompt_tts_tpu.train.checkpoint import CheckpointManager
 from prompt_tts_tpu.train.state import create_train_state
@@ -42,6 +45,7 @@ class Trainer:
         ckpt_dir: Optional[str] = None,
         mesh=None,
         n_model: int = 1,
+        n_seq: int = 1,
         dtype=jnp.float32,
         remat: bool = False,
         profile_steps: int = 0,
@@ -54,6 +58,9 @@ class Trainer:
         # n_model > 1: tensor-parallel training — the mesh model axis gets
         # n_model devices and params+moments are Megatron-sharded over it
         # (parallel/tp.py rules); the data axis takes the rest.
+        # n_seq > 1: sequence-parallel training — latent time is sharded
+        # over the mesh seq axis (convs get GSPMD halo exchange, self-
+        # attention runs as ring attention; parallel/sp.py).
         # eval_every > 0: run a deterministic eval pass (Trainer.evaluate)
         # every that-many epochs, logged as Loss/eval.
         self.profile_steps = profile_steps
@@ -61,7 +68,12 @@ class Trainer:
         self.eval_dataset = eval_dataset
         self.config = config
         self.dataset = dataset
-        self.mesh = mesh if mesh is not None else make_mesh(n_model=n_model)
+        self.mesh = (mesh if mesh is not None
+                     else make_mesh(n_model=n_model, n_seq=n_seq))
+        if seq_size(self.mesh) > 1:
+            # arm ring-attention dispatch for every trace made by this
+            # process (module-level state, consulted at trace time)
+            sp.enable(self.mesh)
         model_cls = (TTSPromptSpeaker if config.model.prompt_conditioning
                      else TTSSingleSpeaker)
         self.model = model_cls(config.model, dtype=dtype)
@@ -96,11 +108,20 @@ class Trainer:
             self.state = jax.device_put(self.state, self._state_sharding)
         else:
             self._state_sharding = None
+        batch_sh = None
+        if seq_size(self.mesh) > 1:
+            # peek one batch for its exact key set (datasets add extras
+            # like code_len): jit in_shardings dicts must match the batch
+            # pytree structure exactly
+            example = next(self.dataset.batches(tcfg.batch_size))
+            batch_sh = {k: batch_key_sharding(self.mesh, k)
+                        for k in example}
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob),
             self.mesh,
             state_sharding=self._state_sharding,
+            batch_sharding=batch_sh,
         )
         self.global_step = 0
 

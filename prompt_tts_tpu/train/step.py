@@ -61,14 +61,21 @@ def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
         noisy = add_noise(schedule, codes, noise, timesteps)
         text_ids = batch["text_ids"]
         text_mask = batch["text_mask"]
+        prompt = batch.get("prompt")  # prompt-conditioned model only
         if cond_dropout_prob > 0.0:
             drop = jax.random.bernoulli(
                 rng_cfg, cond_dropout_prob, (B, 1))
             text_ids = jnp.where(drop, jnp.zeros_like(text_ids), text_ids)
             text_mask = jnp.where(drop, jnp.zeros_like(text_mask), text_mask)
+            if prompt is not None:
+                # null-prompt = zero latents, jointly with null-text: the
+                # unconditional branch the sampler's CFG pairs against
+                # (pipeline._synthesize_device encodes zeros the same way)
+                prompt = jnp.where(drop[:, :, None],
+                                   jnp.zeros_like(prompt), prompt)
         cond = (noisy, timesteps, text_ids, text_mask)
-        if "prompt" in batch:  # prompt-conditioned (multi-speaker) model
-            cond = cond + (batch["prompt"],)
+        if prompt is not None:
+            cond = cond + (prompt,)
         pred = model_fn(params, *cond, rngs={"dropout": rng_drop})
         loss = jnp.mean(
             (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
@@ -109,6 +116,7 @@ def jit_train_step(
     train_step: Callable,
     mesh: Mesh,
     state_sharding=None,
+    batch_sharding=None,
 ) -> Callable:
     """Jit with explicit shardings: data-sharded batch, replicated rng.
 
@@ -117,13 +125,20 @@ def jit_train_step(
     shard params+moments over the ``model`` axis (tensor parallelism) —
     GSPMD then inserts the TP collectives over ICI.  Donates the state so
     optimizer buffers update in place.
+
+    ``batch_sharding``: None shards every batch leaf's leading dim over
+    ``data``; pass ``parallel.mesh.batch_shardings(mesh, batch)`` (a
+    per-key dict) to additionally shard latent time over ``seq``
+    (sequence parallelism — arm ``parallel.sp`` so attention dispatches
+    to the ring path too).
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    batch_sh = data if batch_sharding is None else batch_sharding
     state_sh = repl if state_sharding is None else state_sharding
     return jax.jit(
         train_step,
-        in_shardings=(state_sh, data, repl),
+        in_shardings=(state_sh, batch_sh, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
