@@ -46,13 +46,22 @@ def main(argv=None):
         model = AutoModelForCTC.from_pretrained(args.model_dir).eval()
         processor = AutoProcessor.from_pretrained(args.model_dir)
     else:
-        from transformers import (
-            Speech2TextForConditionalGeneration,
-            Speech2TextProcessor,
-        )
+        from transformers import Speech2TextForConditionalGeneration
         model = Speech2TextForConditionalGeneration.from_pretrained(
             args.model_dir).eval()
-        processor = Speech2TextProcessor.from_pretrained(args.model_dir)
+        try:
+            from transformers import Speech2TextProcessor
+            processor = Speech2TextProcessor.from_pretrained(args.model_dir)
+        except Exception:
+            # the stock Speech2TextTokenizer needs the sentencepiece
+            # wheel, but the ASR path only DECODES — fall back to the
+            # in-repo decode-only unigram shim over the checkpoint's
+            # vocab.json + the stock feature extractor (data/unigram.py)
+            from transformers import Speech2TextFeatureExtractor
+            from prompt_tts_tpu.data.unigram import UnigramProcessor
+            processor = UnigramProcessor(
+                Speech2TextFeatureExtractor.from_pretrained(args.model_dir),
+                args.model_dir)
 
     ignore_path = os.path.join(args.state_dir, "asr_ignore_list.txt")
     done = set()

@@ -1,13 +1,16 @@
 """ASR pseudo-labeling tool: full tar -> transcribe -> resume path.
 
-The reference's tool (data_preparation/asr/generate_transcript.py:44-70)
-hard-codes a local Speech2Text checkpoint; a real s2t tokenizer cannot be
-constructed offline here (sentencepiece is not installed), so the
-end-to-end exercise uses a tiny random wav2vec2 CTC checkpoint — whose
-char tokenizer needs only a vocab.json — through the SAME tool code path
-(tar read, wav decode, batching, processor, model, decode, resumable
-ignore-list, output tar).  Only the `model.generate` branch is specific to
-the seq2seq architecture.
+Covers BOTH architectures the tool supports:
+* the reference's actual seq2seq Speech2Text path (reference
+  data_preparation/asr/generate_transcript.py:13-18,44-70) — a tiny
+  random s2t checkpoint built offline; the stock tokenizer needs the
+  sentencepiece wheel (absent here), so decode goes through the in-repo
+  decode-only unigram shim (prompt_tts_tpu/data/unigram.py), which is
+  exactly the fallback the tool ships;
+* the beyond-reference wav2vec2 CTC auto-detect path, whose char
+  tokenizer needs only a vocab.json.
+Both run the same surrounding machinery: tar read, wav decode, batching,
+processor, model, decode, resumable ignore-list, output tar.
 """
 
 import io
@@ -61,6 +64,49 @@ def tiny_ctc_checkpoint(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def tiny_s2t_checkpoint(tmp_path_factory):
+    """Tiny random Speech2Text seq2seq checkpoint, built offline.
+
+    vocab.json carries sentencepiece-style unigram pieces ("▁"-marked)
+    so decode exercises the SPM whitespace convention.
+    """
+    d = tmp_path_factory.mktemp("tiny_s2t")
+    import torch
+    from transformers import (
+        Speech2TextConfig,
+        Speech2TextFeatureExtractor,
+        Speech2TextForConditionalGeneration,
+    )
+
+    pieces = ["<s>", "<pad>", "</s>", "<unk>"] + [
+        "▁the", "▁a", "▁and", "cat", "dog", "s",
+        "▁quick", "brown", "ing", "ed", "▁fox",
+    ]
+    vocab = {t: i for i, t in enumerate(pieces)}
+    (d / "vocab.json").write_text(json.dumps(vocab), encoding="utf-8")
+    (d / "special_tokens_map.json").write_text(json.dumps({
+        "bos_token": "<s>", "eos_token": "</s>",
+        "pad_token": "<pad>", "unk_token": "<unk>"}))
+
+    torch.manual_seed(0)
+    cfg = Speech2TextConfig(
+        vocab_size=len(vocab), d_model=32, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2,
+        decoder_attention_heads=2, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        num_conv_layers=1, conv_kernel_sizes=(5,), conv_channels=32,
+        input_feat_per_channel=80, input_channels=1,
+        max_source_positions=600, max_target_positions=32,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        decoder_start_token_id=2, max_length=8,
+        architectures=["Speech2TextForConditionalGeneration"])
+    Speech2TextForConditionalGeneration(cfg).save_pretrained(str(d))
+    Speech2TextFeatureExtractor(
+        feature_size=80, num_mel_bins=80, sampling_rate=16000,
+        padding_value=0.0).save_pretrained(str(d))
+    return str(d)
+
+
 @pytest.fixture()
 def wav_tar(tmp_path):
     tar_path = tmp_path / "cut.tar"
@@ -109,3 +155,40 @@ class TestGenerateTranscript:
         assert "0 transcripts" in capsys.readouterr().out
         with tarfile.open(out_tar) as tf:
             assert len(tf.getnames()) == 3  # nothing re-appended
+
+    def test_s2t_seq2seq_branch(self, tiny_s2t_checkpoint, wav_tar,
+                                tmp_path, capsys):
+        """The reference's actual Speech2Text generate path, end to end
+        (through the sentencepiece-free unigram decode fallback)."""
+        state = str(tmp_path / "state_s2t")
+        os.makedirs(state)
+        main(["--input_file", wav_tar,
+              "--model_dir", tiny_s2t_checkpoint,
+              "--batch_size", "2", "--state_dir", state])
+        out_tar = wav_tar.replace(".tar", "_asr.tar")
+        with tarfile.open(out_tar) as tf:
+            names = sorted(tf.getnames())
+            assert names == ["u0.txt", "u1.txt", "u2.txt"]
+            for n in names:
+                text = tf.extractfile(n).read().decode()
+                # decode-only shim: no special tokens, no raw SPM marker
+                assert "▁" not in text and "<" not in text
+        assert "3 transcripts" in capsys.readouterr().out
+
+        # resume is a no-op on the second run
+        main(["--input_file", wav_tar,
+              "--model_dir", tiny_s2t_checkpoint,
+              "--batch_size", "2", "--state_dir", state])
+        assert "0 transcripts" in capsys.readouterr().out
+
+
+class TestUnigramDecoder:
+    def test_decode_semantics(self, tiny_s2t_checkpoint):
+        from prompt_tts_tpu.data.unigram import UnigramDecoder
+        dec = UnigramDecoder(tiny_s2t_checkpoint)
+        # "▁" marks word START; unmarked pieces are continuations:
+        # "<s> ▁the ▁fox s </s> ▁quick brown <pad>" -> "the foxs quickbrown"
+        ids = [0, 4, 14, 9, 2, 10, 11, 1]
+        assert dec.decode(ids) == "the foxs quickbrown"
+        assert dec.batch_decode([ids, [2, 1]]) == ["the foxs quickbrown",
+                                                   ""]
