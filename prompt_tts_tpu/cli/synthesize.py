@@ -34,6 +34,10 @@ def parse_args(argv=None):
                    help="ddim (reference 50-step config) or dpm "
                         "(DPM-Solver++(2M): ~20-25 steps suffice).")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="Classifier-free guidance scale (>1 needs a "
+                        "model trained with cond_dropout_prob>0; "
+                        "works for both model families).")
     p.add_argument("--prompt_wav", type=str, default=None,
                    help="Reference-audio prompt (24 kHz wav) for a "
                         "prompt-conditioned (multi-speaker) model.")
@@ -109,6 +113,7 @@ def main(argv=None):
         codec_params=codec_params,
         num_inference_steps=args.steps,
         sampler=args.sampler,
+        guidance_scale=args.guidance_scale,
     )
     prompt_wav = None
     if args.prompt_wav:

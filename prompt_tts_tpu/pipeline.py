@@ -91,8 +91,10 @@ class Synthesizer:
         self.sampler = sampler
         # guidance_scale > 1 enables classifier-free guidance (the model
         # should have been trained with train.cond_dropout_prob > 0).
-        # Currently supported for the single-speaker model only; the
-        # prompt-conditioned path ignores it.
+        # Supported for both model families: the unconditional branch is
+        # null text (zero ids/mask) and, for the prompt-conditioned
+        # model, additionally a null (zero-latent) prompt — matching the
+        # joint conditioning dropout in train/step.py.
         self.guidance_scale = float(guidance_scale)
         self.config = config or Config()
         mcfg = self.config.model
@@ -149,7 +151,31 @@ class Synthesizer:
     def _synthesize_device(self, model_params, codec_params, x_T, ids, mask,
                            prompt=None):
         # conditioning is loop-invariant: compute it ONCE, not per DDIM step
-        if self._prompted:
+        if self._prompted and self.guidance_scale != 1.0:
+            # classifier-free guidance, prompt-conditioned model: the
+            # unconditional branch nulls BOTH conditions (zero text ids/
+            # mask AND zero prompt latents), pairing with the joint
+            # conditioning dropout used in training (train/step.py)
+            context, speaker = self.model.apply(
+                model_params, ids, mask, prompt,
+                method=TTSPromptSpeaker.encode_conditioning)
+            null_ctx, null_spk = self.model.apply(
+                model_params, jnp.zeros_like(ids), jnp.zeros_like(mask),
+                jnp.zeros_like(prompt),
+                method=TTSPromptSpeaker.encode_conditioning)
+            ctx2 = jnp.concatenate([context, null_ctx], axis=0)
+            spk2 = jnp.concatenate([speaker, null_spk], axis=0)
+            kv = self._cross_kv(model_params, ctx2)
+            s = self.guidance_scale
+
+            def denoise(x, t):
+                eps2 = self.model.apply(
+                    model_params, jnp.concatenate([x, x], axis=0),
+                    jnp.concatenate([t, t], axis=0), ctx2, spk2,
+                    cross_kv=kv, method=TTSPromptSpeaker.denoise)
+                eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+                return eps_u + s * (eps_c - eps_u)
+        elif self._prompted:
             context, speaker = self.model.apply(
                 model_params, ids, mask, prompt,
                 method=TTSPromptSpeaker.encode_conditioning)
@@ -311,13 +337,20 @@ class Synthesizer:
         pieces = []
         for i in range(0, len(chunks), max_batch):
             group = chunks[i:i + max_batch]
+            # pad a trailing partial group up to max_batch (empty texts,
+            # results sliced off) so it reuses the batch-size program the
+            # full groups already compiled instead of compiling a second
+            # device program — minutes-scale through the TPU tunnel
+            n_real = len(group)
+            if len(chunks) > max_batch and n_real < max_batch:
+                group = group + [""] * (max_batch - n_real)
             kw = {}
             if self._prompted:
                 rep = lambda a: (None if a is None else
                                  np.repeat(np.asarray(a)[:1], len(group), 0))
                 kw = dict(prompt_wav=rep(prompt_wav),
                           prompt_codes=rep(prompt_codes))
-            wavs = self.synthesize(group, seed=seed + i, **kw)
+            wavs = self.synthesize(group, seed=seed + i, **kw)[:n_real]
             for wav in wavs:
                 if trim_threshold_db is not None:
                     wav = trim_trailing_silence(
