@@ -61,6 +61,19 @@ class ModelConfig:
     freq_shift: int = 0
     dropout: float = 0.0
 
+    # --- optional reference UNet surface (dead in the reference's own
+    # configs — its gitignored config uses the defaults — but part of the
+    # class's documented surface: unet_1d_condition.py:198-256,
+    # resnet.py:24-96) ---
+    time_embedding_type: str = "positional"   # or "fourier"
+    class_embed_type: Optional[str] = None    # "timestep"|"identity"|
+    #                                           "projection"|None
+    num_class_embeds: Optional[int] = None    # class_embed_type=None +
+    #                                           this set -> nn.Embed table
+    projection_class_embeddings_input_dim: Optional[int] = None
+    upsample_conv_transpose: bool = False     # ConvTranspose1d(4,2,1)
+    downsample_avg_pool: bool = False         # AvgPool(2,2) i/o strided conv
+
     # --- prompt conditioning (multi-speaker; BASELINE config #5) ---
     # The reference's class_embed_type plumbing (unet_1d_condition.py:229-256)
     # is the hook; here a reference-audio prompt encoder feeds BOTH a global
@@ -83,6 +96,17 @@ class ModelConfig:
         for c in self.block_out_channels:
             if c % self.norm_num_groups != 0:
                 raise ValueError(f"channels {c} not divisible by groups")
+        if self.time_embedding_type not in ("positional", "fourier"):
+            raise ValueError(
+                f"unknown time_embedding_type {self.time_embedding_type!r}")
+        if self.class_embed_type not in (None, "timestep", "identity",
+                                         "projection"):
+            raise ValueError(
+                f"unknown class_embed_type {self.class_embed_type!r}")
+        if (self.class_embed_type == "projection"
+                and self.projection_class_embeddings_input_dim is None):
+            raise ValueError("class_embed_type='projection' requires "
+                             "projection_class_embeddings_input_dim")
 
 
 @dataclass(frozen=True)

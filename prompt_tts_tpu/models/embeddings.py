@@ -12,6 +12,7 @@ table instead of a shape-keyed runtime cache).
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +60,35 @@ class TimestepEmbedding(nn.Module):
         x = nn.silu(x)
         x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
         return x
+
+
+class GaussianFourierProjection(nn.Module):
+    """Random-Fourier timestep features — the reference UNet's optional
+    ``time_embedding_type="fourier"`` path (reference
+    unet_1d_condition.py:198-213, which builds diffusers-0.15
+    ``GaussianFourierProjection(embedding_size=block_out_channels[0],
+    set_W_to_weight=False, log=False, flip_sin_to_cos=...)``).
+
+    ``weight ~ N(0, scale^2)`` is drawn once and FROZEN (torch registers
+    it with ``requires_grad=False``); output is ``[cos|sin]`` (or
+    ``[sin|cos]``) of ``2*pi*t*w`` -> ``[B, 2*embedding_size]``.
+    """
+
+    embedding_size: int
+    scale: float = 1.0
+    flip_sin_to_cos: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B] -> [B, 2E]
+        w = self.param(
+            "weight",
+            lambda rng: jax.random.normal(rng, (self.embedding_size,))
+            * self.scale)
+        w = jax.lax.stop_gradient(w)  # non-trainable, torch parity
+        x_proj = x.astype(jnp.float32)[:, None] * w[None, :] * (2 * math.pi)
+        if self.flip_sin_to_cos:
+            return jnp.concatenate([jnp.cos(x_proj), jnp.sin(x_proj)], -1)
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], -1)
 
 
 def transposed_positional_encoding(seq_len: int, dim: int) -> np.ndarray:

@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from prompt_tts_tpu.config import ModelConfig
-from prompt_tts_tpu.models.embeddings import TimestepEmbedding, timestep_embedding
+from prompt_tts_tpu.models.embeddings import (
+    GaussianFourierProjection, TimestepEmbedding, timestep_embedding,
+)
 from prompt_tts_tpu.models.layers import Conv1d, GroupNorm, TransformerBlock
 
 
@@ -92,26 +94,63 @@ class ResnetBlock1D(nn.Module):
 
 
 class Downsample1D(nn.Module):
-    """Strided conv downsample (k3, s2, pad1) — reference resnet.py:52-96."""
+    """Strided conv downsample (k3, s2, pad1) — reference resnet.py:52-96.
+
+    ``use_conv=False`` is the reference's (never-invoked) AvgPool variant
+    (resnet.py:76-82: ``AvgPool1d(kernel_size=stride, stride=stride)``,
+    which requires in == out channels).
+    """
 
     channels: int
+    use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if not self.use_conv:
+            assert x.shape[-1] == self.channels, (
+                "AvgPool downsample cannot change channels (reference "
+                "resnet.py:76 asserts the same)")
+            return nn.avg_pool(x, window_shape=(2,), strides=(2,))
         return Conv1d(self.channels, 3, stride=2, padding=1,
                       dtype=self.dtype, name="conv")(x)
 
 
 class Upsample1D(nn.Module):
-    """Nearest x2 (to a static target length) + conv k3 — resnet.py:11-49."""
+    """Nearest x2 (to a static target length) + conv k3 — resnet.py:11-49.
+
+    ``use_conv_transpose=True`` is the reference's (never-invoked)
+    ``ConvTranspose1d(channels, out, 4, 2, 1)`` variant (resnet.py:32,
+    37-39): exact 2x length, no nearest interpolation.  Implemented as a
+    dilated correlation with the flipped kernel — bit-equal to torch's
+    transposed convolution (golden-tested in tests/test_models.py).
+    """
 
     channels: int
     target_len: int
+    use_conv_transpose: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.use_conv_transpose:
+            assert self.target_len == 2 * x.shape[1], (
+                "conv-transpose upsample is exactly 2x (reference "
+                "resnet.py:38 returns self.conv(x) unconditionally)")
+            # torch ConvTranspose1d(k=4, s=2, p=1): out[t] = sum_k
+            # x[(t + p - k)/s] W[k]  ==  dilate x by 2, pad k-1-p=2,
+            # correlate with the k-flipped kernel
+            w = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (4, x.shape[-1], self.channels)).astype(self.dtype)
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.channels,)).astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w[::-1],
+                window_strides=(1,), padding=[(2, 2)], lhs_dilation=(2,),
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            return out + b
         x = _nearest_resize(x, self.target_len)
         return Conv1d(self.channels, 3, dtype=self.dtype, name="conv")(x)
 
@@ -162,6 +201,7 @@ class DownBlock1D(nn.Module):
     out_channels: int
     num_layers: int
     add_downsample: bool
+    downsample_use_conv: bool
     groups: int
     eps: float
     dropout: float = 0.0
@@ -176,8 +216,9 @@ class DownBlock1D(nn.Module):
                               name=f"resnet_{i}")(x, temb, deterministic)
             skips.append(x)
         if self.add_downsample:
-            x = Downsample1D(self.out_channels, dtype=self.dtype,
-                             name="downsample")(x)
+            x = Downsample1D(self.out_channels,
+                             use_conv=self.downsample_use_conv,
+                             dtype=self.dtype, name="downsample")(x)
             skips.append(x)
         return x, skips
 
@@ -190,6 +231,7 @@ class CrossAttnDownBlock1D(nn.Module):
     num_heads: int
     cross_attention_dim: int
     add_downsample: bool
+    downsample_use_conv: bool
     groups: int
     eps: float
     dropout: float = 0.0
@@ -215,8 +257,9 @@ class CrossAttnDownBlock1D(nn.Module):
               cross_kv=None if cross_kv is None else cross_kv[f"attn_{i}"])
             skips.append(x)
         if self.add_downsample:
-            x = Downsample1D(self.out_channels, dtype=self.dtype,
-                             name="downsample")(x)
+            x = Downsample1D(self.out_channels,
+                             use_conv=self.downsample_use_conv,
+                             dtype=self.dtype, name="downsample")(x)
             skips.append(x)
         return x, skips
 
@@ -228,6 +271,7 @@ class UpBlock1D(nn.Module):
     num_layers: int
     add_upsample: bool
     upsample_target_len: int
+    upsample_conv_transpose: bool
     groups: int
     eps: float
     dropout: float = 0.0
@@ -242,6 +286,7 @@ class UpBlock1D(nn.Module):
                               name=f"resnet_{i}")(x, temb, deterministic)
         if self.add_upsample:
             x = Upsample1D(self.out_channels, self.upsample_target_len,
+                           use_conv_transpose=self.upsample_conv_transpose,
                            dtype=self.dtype, name="upsample")(x)
         return x
 
@@ -255,6 +300,7 @@ class CrossAttnUpBlock1D(nn.Module):
     cross_attention_dim: int
     add_upsample: bool
     upsample_target_len: int
+    upsample_conv_transpose: bool
     groups: int
     eps: float
     dropout: float = 0.0
@@ -280,6 +326,7 @@ class CrossAttnUpBlock1D(nn.Module):
               cross_kv=None if cross_kv is None else cross_kv[f"attn_{i}"])
         if self.add_upsample:
             x = Upsample1D(self.out_channels, self.upsample_target_len,
+                           use_conv_transpose=self.upsample_conv_transpose,
                            dtype=self.dtype, name="upsample")(x)
         return x
 
@@ -335,7 +382,8 @@ class UNet1DCondition(nn.Module):
         sample: jnp.ndarray,     # [B, T, in_channels]
         timesteps: jnp.ndarray,  # [B] int
         context: jnp.ndarray,    # [B, S, cross_dim]
-        class_emb: Optional[jnp.ndarray] = None,  # [B, 4*chans[0]]
+        class_emb: Optional[jnp.ndarray] = None,  # [B, time_embed_dim]
+        class_labels: Optional[jnp.ndarray] = None,  # see class_embed_type
         deterministic: bool = True,
         cross_kv: Optional[dict] = None,  # see cross_attention_kv()
     ) -> jnp.ndarray:            # [B, T, out_channels]
@@ -344,15 +392,55 @@ class UNet1DCondition(nn.Module):
         chans = cfg.block_out_channels
         n_blocks = len(chans)
 
-        # 1. time conditioning (+ optional class/speaker embedding, the
-        # reference's class_embed hook: unet_1d_condition.py:634-646)
-        t_feat = timestep_embedding(
-            timesteps, chans[0],
-            flip_sin_to_cos=cfg.flip_sin_to_cos,
-            downscale_freq_shift=cfg.freq_shift,
-        ).astype(self.dtype)
-        temb = TimestepEmbedding(chans[0] * 4, dtype=self.dtype,
+        # 1. time conditioning.  "positional" is the reference's operative
+        # path (unet_1d_condition.py:205-209: sinusoidal -> MLP to
+        # 4*chans[0]); "fourier" is its optional random-Fourier variant
+        # (:198-204: embedding_size chans[0] -> dim 2*chans[0]).
+        if cfg.time_embedding_type == "fourier":
+            time_embed_dim = chans[0] * 2
+            time_proj = GaussianFourierProjection(
+                chans[0], flip_sin_to_cos=cfg.flip_sin_to_cos,
+                name="time_proj")
+            t_feat = time_proj(timesteps).astype(self.dtype)
+        else:
+            time_embed_dim = chans[0] * 4
+            time_proj = lambda t: timestep_embedding(
+                t, chans[0], flip_sin_to_cos=cfg.flip_sin_to_cos,
+                downscale_freq_shift=cfg.freq_shift)
+            t_feat = time_proj(timesteps).astype(self.dtype)
+        temb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                  name="time_embedding")(t_feat)
+
+        # optional class conditioning (reference unet_1d_condition.py:
+        # 229-256 init, :634-646 forward — additive to the time embedding).
+        # ``class_emb`` is the already-embedded hook (the prompt-TTS
+        # speaker embedding uses it); ``class_labels`` goes through the
+        # configured class_embedding variant first.
+        if class_labels is not None:
+            if cfg.class_embed_type is None and cfg.num_class_embeds:
+                cemb = nn.Embed(cfg.num_class_embeds, time_embed_dim,
+                                dtype=self.dtype,
+                                name="class_embedding")(class_labels)
+            elif cfg.class_embed_type == "timestep":
+                # labels are first run through the SAME time_proj
+                # (unet_1d_condition.py:639-640)
+                cemb = TimestepEmbedding(
+                    time_embed_dim, dtype=self.dtype,
+                    name="class_embedding")(
+                    jnp.asarray(time_proj(class_labels)).astype(self.dtype))
+            elif cfg.class_embed_type == "identity":
+                cemb = class_labels.astype(temb.dtype)
+            elif cfg.class_embed_type == "projection":
+                # arbitrary-dim input vector through the embedding MLP
+                # (unet_1d_condition.py:236-248)
+                cemb = TimestepEmbedding(
+                    time_embed_dim, dtype=self.dtype,
+                    name="class_embedding")(class_labels.astype(self.dtype))
+            else:
+                raise ValueError(
+                    "class_labels given but no class embedding configured "
+                    "(set class_embed_type or num_class_embeds)")
+            temb = temb + cemb.astype(temb.dtype)
         if class_emb is not None:
             temb = temb + class_emb.astype(temb.dtype)
 
@@ -366,7 +454,9 @@ class UNet1DCondition(nn.Module):
             is_final = i == n_blocks - 1
             common = dict(
                 out_channels=chans[i], num_layers=cfg.layers_per_block,
-                add_downsample=not is_final, groups=cfg.norm_num_groups,
+                add_downsample=not is_final,
+                downsample_use_conv=not cfg.downsample_avg_pool,
+                groups=cfg.norm_num_groups,
                 eps=cfg.norm_eps, dropout=cfg.dropout, dtype=self.dtype,
                 name=f"down_{i}",
             )
@@ -407,6 +497,7 @@ class UNet1DCondition(nn.Module):
             common = dict(
                 out_channels=rev_chans[i], num_layers=up_layers,
                 add_upsample=not is_final, upsample_target_len=target_len,
+                upsample_conv_transpose=cfg.upsample_conv_transpose,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dropout=cfg.dropout, dtype=self.dtype, name=f"up_{i}",
             )
