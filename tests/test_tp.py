@@ -109,3 +109,60 @@ class TestTPTrainStep:
         assert leaf is not None
         assert len(leaf.sharding.device_set) == 8
         assert leaf.sharding.spec == P(None, MODEL_AXIS)
+
+
+class TestTPCheckpointRoundTrip:
+    def test_save_restore_tp_sharded_state(self, tmp_path):
+        """Save a 4x2 TP-sharded TrainState, restore into a fresh one:
+        params must be bit-equal AND keep their Megatron shardings
+        (the reference has no load path at all — SURVEY.md §5)."""
+        from prompt_tts_tpu.train.checkpoint import CheckpointManager
+
+        model = TTSSingleSpeaker(TINY)
+        tcfg = TrainConfig(learning_rate=1e-3, lr_warmup_steps=0,
+                           lr_scheduler="constant")
+        args = (jnp.zeros((1, 48, 8)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 32), jnp.int32), jnp.ones((1, 32), jnp.int32))
+        mesh = make_mesh(n_data=4, n_model=2)
+
+        params = model.init(jax.random.PRNGKey(0), *args)
+        state = create_train_state(model, params, tcfg, 100)
+        sh = state_shardings(state, mesh)
+        state = jax.device_put(state, sh)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.save(state, step=7, force=True,
+                        rng=jax.random.PRNGKey(5))
+        mgr.wait()
+
+        # fresh state with DIFFERENT params, sharded the same way (the
+        # sharding pytree must be rebuilt: TrainState's static aux data
+        # — the fresh optax chain — makes the first state's treedef
+        # unequal for device_put's prefix matching)
+        params_b = model.init(jax.random.PRNGKey(9), *args)
+        state_b = create_train_state(model, params_b, tcfg, 100)
+        state_b = jax.device_put(state_b, state_shardings(state_b, mesh))
+        restored, step, rng = mgr.restore(state_b, with_rng=True)
+        assert step == 7
+        np.testing.assert_array_equal(np.asarray(rng),
+                                      np.asarray(jax.random.PRNGKey(5)))
+
+        ref = jax.tree_util.tree_leaves_with_path(state.params)
+        got = {jax.tree_util.keystr(p): l for p, l in
+               jax.tree_util.tree_leaves_with_path(restored.params)}
+        n_sharded = 0
+        for path, leaf in ref:
+            key = jax.tree_util.keystr(path)
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(leaf), err_msg=key)
+            assert got[key].sharding.spec == leaf.sharding.spec, key
+            if MODEL_AXIS in tuple(got[key].sharding.spec):
+                n_sharded += 1
+        assert n_sharded > 0, "no restored param kept a TP sharding"
+        # optimizer moments restored too (mu mirrors the param tree)
+        mu_ref = jax.tree_util.tree_leaves(state.opt_state)
+        mu_got = jax.tree_util.tree_leaves(restored.opt_state)
+        assert len(mu_ref) == len(mu_got)
+        for a, b in zip(mu_ref, mu_got):
+            if hasattr(a, "shape"):
+                np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
