@@ -148,8 +148,7 @@ class Synthesizer:
         return cross_attention_kv(model_params["params"]["unet"], context,
                                   self.config.model, dtype=self.model.dtype)
 
-    def _synthesize_device(self, model_params, codec_params, x_T, ids, mask,
-                           prompt=None):
+    def _denoise_latents(self, model_params, x_T, ids, mask, prompt=None):
         # conditioning is loop-invariant: compute it ONCE, not per DDIM step
         if self._prompted and self.guidance_scale != 1.0:
             # classifier-free guidance, prompt-conditioned model: the
@@ -215,17 +214,25 @@ class Synthesizer:
                                         method=TTSSingleSpeaker.denoise)
 
         if self.sampler == "dpm":
-            latents = dpm_solver_sample(
+            return dpm_solver_sample(
                 denoise, self.schedule, x_T,
                 num_inference_steps=self.num_inference_steps)
-        else:
-            latents = ddim_sample(
-                denoise, self.schedule, x_T,
-                num_inference_steps=self.num_inference_steps)
+        return ddim_sample(
+            denoise, self.schedule, x_T,
+            num_inference_steps=self.num_inference_steps)
+
+    def _synthesize_device(self, model_params, codec_params, x_T, ids, mask,
+                           prompt=None):
+        latents = self._denoise_latents(model_params, x_T, ids, mask, prompt)
         codes = latents_to_codes(latents)
         wav = self._codec_fast.apply(codec_params, codes,
                                      method=EncodecCodec.decode)
         return wav.astype(jnp.float32), codes
+
+    def _codes_device(self, model_params, x_T, ids, mask, prompt=None):
+        """Denoise to int codes only (no decode) — the streaming path."""
+        return latents_to_codes(
+            self._denoise_latents(model_params, x_T, ids, mask, prompt))
 
     def synthesize(
         self,
@@ -241,13 +248,37 @@ class Synthesizer:
         ``[B, Tsamples]`` @ 24 kHz (encoded on the fly) or ``prompt_codes``
         ``[B, n_q, Tp]`` int.
         """
+        args = self._device_args(texts, seed, prompt_wav, prompt_codes)
+        wav, codes = self._synth_fn(self.model_params, self.codec_params,
+                                    *args)
+        wav = np.asarray(wav)
+        if return_codes:
+            return wav, np.asarray(codes)
+        return wav
+
+    def synthesize_async(self, texts, seed: int = 0, prompt_wav=None,
+                         prompt_codes=None):
+        """Dispatch the device program; return the DEVICE wav (no host pull).
+
+        JAX dispatch is asynchronous, so this returns as soon as the
+        program is enqueued; ``np.asarray(result)`` performs the blocking
+        host transfer.  A serving loop can therefore overlap batch k's
+        host pull with batch k+1's device compute (cli/serve.py
+        _Batcher does exactly that).
+        """
+        args = self._device_args(texts, seed, prompt_wav, prompt_codes)
+        wav, _codes = self._synth_fn(self.model_params, self.codec_params,
+                                     *args)
+        return wav
+
+    def _device_args(self, texts, seed, prompt_wav=None, prompt_codes=None):
+        """Tokenize + draw x_T (+ fixed-length prompt latents)."""
         mcfg = self.config.model
         ids, mask = self.tokenizer.encode_batch(list(texts))
         x_T = jax.random.normal(
             jax.random.PRNGKey(seed),
             (len(texts), mcfg.sample_size, mcfg.in_channels))
-        args = [self.model_params, self.codec_params, x_T,
-                jnp.asarray(ids), jnp.asarray(mask)]
+        args = [x_T, jnp.asarray(ids), jnp.asarray(mask)]
         if self._prompted:
             if prompt_codes is None:
                 if prompt_wav is None:
@@ -262,11 +293,42 @@ class Synthesizer:
                              np.float32)
             fixed[:, : min(Tp, prompt.shape[1])] = prompt[:, :Tp]
             args.append(jnp.asarray(fixed))
-        wav, codes = self._synth_fn(*args)
-        wav = np.asarray(wav)
-        if return_codes:
-            return wav, np.asarray(codes)
-        return wav
+        return args
+
+    def synthesize_stream(
+        self,
+        texts: Sequence[str],
+        seed: int = 0,
+        chunk_frames: int = 300,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_codes: Optional[np.ndarray] = None,
+    ):
+        """Yield float32 wav chunks ``[B, chunk*320]`` as they decode.
+
+        First audio leaves after denoise + ONE chunk-prefix decode instead
+        of the full 12 s window: the SEANet decoder is causal (causal
+        reflect-pad convs, right-trimmed transposed convs — reference
+        EnCodec 24 kHz, decode_codec.py:12-16), so decoding a code PREFIX
+        equals the prefix of the full decode (bit-exact beyond ~30 frames;
+        tests/test_pipeline.py::TestStreaming).  Each chunk re-decodes the
+        grown prefix (n_chunks static programs; ~(n+1)/2x decode compute)
+        — decode is ~5% of synthesis, so this trades a few percent of
+        total work for a ~(n-1)/n cut in time-to-first-audio.
+        """
+        if not hasattr(self, "_codes_fn"):
+            self._codes_fn = jax.jit(self._codes_device)
+            self._decode_fn = jax.jit(
+                lambda p, c: self._codec_fast.apply(
+                    p, c, method=EncodecCodec.decode).astype(jnp.float32))
+        args = self._device_args(texts, seed, prompt_wav, prompt_codes)
+        codes = self._codes_fn(self.model_params, *args)
+        T = codes.shape[-1]
+        bounds = list(range(chunk_frames, T, chunk_frames)) + [T]
+        prev = 0
+        for end in bounds:
+            wav = self._decode_fn(self.codec_params, codes[:, :, :end])
+            yield np.asarray(wav[:, prev * 320: end * 320])
+            prev = end
 
     def split_long_text(self, text: str) -> list:
         """Split ``text`` into chunks whose token sequences fit the model.

@@ -25,6 +25,24 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
+def wav_header(n_samples: int, sample_rate: int, channels: int = 1) -> bytes:
+    """PCM16 WAV header for a known total length (streaming writers emit
+    this first, then raw PCM16 frames)."""
+    data_bytes = n_samples * channels * 2
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + data_bytes), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             sample_rate * channels * 2, channels * 2, 16),
+        b"data", struct.pack("<I", data_bytes),
+    ])
+
+
+def pcm16_bytes(audio: np.ndarray) -> bytes:
+    """float audio in [-1, 1] -> raw little-endian PCM16 frames."""
+    return np.clip(np.round(np.asarray(audio) * 32767.0),
+                   -32768, 32767).astype("<i2").tobytes()
+
+
 def read_wav(path_or_file) -> Tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 audio [T, C] in [-1, 1], sample_rate).
 

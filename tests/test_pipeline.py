@@ -89,6 +89,16 @@ class TestSynthesizerSmoke:
         codes2 = synth.encode_audio(wav[:, : 10 * 320])
         assert codes2.shape == (2, 8, 10)
 
+        # streaming synthesis: chunks concatenate to the SAME waveform
+        # (causal decoder -> prefix decode == prefix of full decode)
+        chunks = list(synth.synthesize_stream(
+            ["hello world", "printing"], chunk_frames=16))
+        assert len(chunks) == 3                      # 16 + 16 + 8 frames
+        assert chunks[0].shape == (2, 16 * 320)
+        assert chunks[-1].shape == (2, 8 * 320)
+        np.testing.assert_allclose(
+            np.concatenate(chunks, axis=1), wav, atol=2e-5)
+
 
 class TestLongFormSynthesis:
     def test_split_packs_sentences_within_token_limit(self):
