@@ -16,6 +16,21 @@ runs tools/compare_losses.py's comparison on them and prints the verdict
 JSON (recorded in BENCHMARKS.md).
 
 Run: python -u tools/loss_parity_ab.py --steps 300   (CPU, ~10 min)
+Long data-anchored variant (round 3):
+     python -u tools/loss_parity_ab.py --steps 2000 --accum 2 --remat \
+        --corpus_batches 16
+(--accum N runs N micro-batches per optimizer step on BOTH sides —
+ optax.MultiSteps vs torch loss/N + step-boundary clip, the reference's
+ accelerate semantics, train.py:27,80,116; --remat wraps our model apply
+ in jax.checkpoint to prove rematerialization changes nothing.)
+
+CAVEAT (stated plainly, also in BENCHMARKS.md): this is TWIN-anchored,
+not data-anchored to LJSpeech — no network egress, no GPU, and no
+reference checkpoints exist in this environment, so the comparison is
+against tools/torch_twin.py under the reference recipe on synthetic data.
+It proves the FRAMEWORK's optimization dynamics match torch to numerics;
+it cannot prove dataset-level reproduction of the reference's (likewise
+unpublished) LJSpeech curves.
 """
 
 import argparse
@@ -44,8 +59,15 @@ def make_data(n, cfg, seed=0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--steps", type=int, default=300,
+                   help="optimizer steps (micro-steps = steps * accum)")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation micro-batches per step")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint around our model apply")
+    p.add_argument("--corpus_batches", type=int, default=4,
+                   help="corpus size in batches")
     p.add_argument("--lr", type=float, default=1e-3,
                    help="LR for the A/B (reference's 1e-5 barely moves a "
                         "tiny model in 300 steps; dynamics still use the "
@@ -82,17 +104,18 @@ def main():
     ref = RefTTS(cfg)
     params = convert_reference_state_dict(ref.state_dict())
 
-    n = 4 * args.batch
+    n = args.corpus_batches * args.batch
     codes, ids, mask = make_data(n, cfg)
 
-    # pre-drawn per-step randomness, shared verbatim by both sides
+    # pre-drawn per-MICRO-step randomness, shared verbatim by both sides
+    micro = args.steps * args.accum
     rng = np.random.default_rng(123)
-    order = [rng.permutation(n)[: args.batch] for _ in range(args.steps)]
+    order = [rng.permutation(n)[: args.batch] for _ in range(micro)]
     noises = [rng.standard_normal(
         (args.batch, cfg.sample_size, 8)).astype(np.float32)
-        for _ in range(args.steps)]
+        for _ in range(micro)]
     tsteps = [rng.integers(0, T_TRAIN, size=args.batch).astype(np.int64)
-              for _ in range(args.steps)]
+              for _ in range(micro)]
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -105,20 +128,26 @@ def main():
     writer = SummaryWriter(tb_dir)
     ref.train()
     for step in range(args.steps):
-        idx = order[step]
-        x0 = torch.from_numpy(codes[idx]).permute(0, 2, 1)  # [B, 8, T]
-        eps = torch.from_numpy(noises[step]).permute(0, 2, 1)
-        t = torch.from_numpy(tsteps[step])
-        a = acp[t].view(-1, 1, 1)
-        x_t = a.sqrt() * x0 + (1 - a).sqrt() * eps
-        pred = ref(x_t, t, torch.from_numpy(ids[idx]),
-                   torch.from_numpy(mask[idx]))
-        loss = torch.nn.functional.mse_loss(pred, eps)
         opt.zero_grad()
-        loss.backward()
+        step_loss = 0.0
+        for a_i in range(args.accum):
+            m = step * args.accum + a_i
+            idx = order[m]
+            x0 = torch.from_numpy(codes[idx]).permute(0, 2, 1)  # [B, 8, T]
+            eps = torch.from_numpy(noises[m]).permute(0, 2, 1)
+            t = torch.from_numpy(tsteps[m])
+            a = acp[t].view(-1, 1, 1)
+            x_t = a.sqrt() * x0 + (1 - a).sqrt() * eps
+            pred = ref(x_t, t, torch.from_numpy(ids[idx]),
+                       torch.from_numpy(mask[idx]))
+            loss = torch.nn.functional.mse_loss(pred, eps)
+            # accelerate-style accumulation: mean of micro-grads, clip at
+            # the step boundary (reference train.py:80,116-117)
+            (loss / args.accum).backward()
+            step_loss += loss.item() / args.accum
         torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
         opt.step()
-        writer.add_scalar("Loss/train", loss.item(), step)
+        writer.add_scalar("Loss/train", step_loss, step)
     writer.close()
 
     # ---------------- JAX side (this framework) ----------------
@@ -128,11 +157,17 @@ def main():
         optax.clip_by_global_norm(1.0),
         optax.adamw(args.lr, b1=0.95, b2=0.999, eps=1e-8,
                     weight_decay=1e-6))
+    if args.accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=args.accum)
     opt_state = tx.init(params)
+
+    apply_fn = model.apply
+    if args.remat:
+        apply_fn = jax.checkpoint(model.apply)
 
     def loss_fn(p, x0, eps, t, bids, bmask):
         x_t = add_noise(schedule, x0, eps, t)
-        pred = model.apply(p, x_t, t, bids, bmask)
+        pred = apply_fn(p, x_t, t, bids, bmask)
         return jnp.mean((pred - eps) ** 2)
 
     @jax.jit
@@ -143,15 +178,19 @@ def main():
 
     ours = MetricsWriter(os.path.join(args.out, "ours"))
     for step in range(args.steps):
-        idx = order[step]
-        pms, opt_state, loss = train_step(
-            params, opt_state,
-            jnp.asarray(codes[idx]), jnp.asarray(noises[step]),
-            jnp.asarray(tsteps[step].astype(np.int32)),
-            jnp.asarray(ids[idx].astype(np.int32)),
-            jnp.asarray(mask[idx].astype(np.int32)))
-        params = pms
-        ours.add_scalar("Loss/train", float(loss), step)
+        step_loss = 0.0
+        for a_i in range(args.accum):
+            m = step * args.accum + a_i
+            idx = order[m]
+            pms, opt_state, loss = train_step(
+                params, opt_state,
+                jnp.asarray(codes[idx]), jnp.asarray(noises[m]),
+                jnp.asarray(tsteps[m].astype(np.int32)),
+                jnp.asarray(ids[idx].astype(np.int32)),
+                jnp.asarray(mask[idx].astype(np.int32)))
+            params = pms
+            step_loss += float(loss) / args.accum
+        ours.add_scalar("Loss/train", step_loss, step)
     ours.flush()
 
     # ---------------- compare ----------------
