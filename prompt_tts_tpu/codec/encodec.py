@@ -100,13 +100,20 @@ class EncodecEncoder(nn.Module):
 
 
 class EncodecDecoder(nn.Module):
-    """SEANet decoder: latents ``[B, F, 128]`` -> wav ``[B, F*320, 1]``."""
+    """SEANet decoder: latents ``[B, F, 128]`` -> wav ``[B, F*320, 1]``.
+
+    ``head_only=True`` stops after the THIRD-from-last upsample stage's
+    resnets (C = 4*num_filters) — the hand-off point of the folded-tail
+    execution (codec/folded.py), which runs the remaining lane-starved
+    stages in a space-to-depth layout.
+    """
 
     config: EncodecConfig24k = field(default_factory=EncodecConfig24k)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 head_only: bool = False) -> jnp.ndarray:
         cfg = self.config
         scaling = int(2 ** len(cfg.upsampling_ratios))
         i = 0
@@ -116,7 +123,8 @@ class EncodecDecoder(nn.Module):
         x = CodecLSTM(scaling * cfg.num_filters, cfg.num_lstm_layers,
                       dtype=self.dtype, name=f"layer_{i}")(x)
         i += 1
-        for ratio in cfg.upsampling_ratios:
+        head_stages = len(cfg.upsampling_ratios) - 2
+        for stage, ratio in enumerate(cfg.upsampling_ratios):
             current = scaling * cfg.num_filters
             i += 1  # ELU
             x = nn.elu(x)
@@ -131,6 +139,8 @@ class EncodecDecoder(nn.Module):
                     name=f"layer_{i}")(x)
                 i += 1
             scaling //= 2
+            if head_only and stage == head_stages - 1:
+                return x
         i += 1  # ELU
         x = nn.elu(x)
         x = CodecConv1d(cfg.audio_channels, cfg.last_kernel_size,
@@ -174,6 +184,13 @@ class EncodecCodec(nn.Module):
         emb = rvq_decode(codes, self.codebooks[:n_q])
         wav = self.decoder(emb)
         return wav[..., 0]
+
+    def decode_head(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """codes -> decoder activation at the folded-tail hand-off point
+        (``[B, T0, 4*num_filters]``; see codec/folded.py)."""
+        n_q = codes.shape[1]
+        emb = rvq_decode(codes, self.codebooks[:n_q])
+        return self.decoder(emb, head_only=True)
 
     def __call__(self, wav: jnp.ndarray,
                  bandwidth_kbps: float = 6.0) -> jnp.ndarray:

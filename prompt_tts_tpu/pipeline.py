@@ -38,6 +38,21 @@ def latents_to_codes(latents: jnp.ndarray) -> jnp.ndarray:
     return c.transpose(0, 2, 1)
 
 
+def codec_decode(codec, params, codes: jnp.ndarray) -> jnp.ndarray:
+    """Decode dispatch: the f32 path uses the folded decoder tail
+    (codec/folded.py — the lane-starved C=64/32 stages as block-banded
+    matmuls in a space-to-depth layout; measured 11.7 ms vs 23.2 ms stock
+    per batch-8 decode on v5e, numerics-equal to ~1e-6).
+    PROMPT_TTS_FOLDED_DECODE=0 falls back to the stock layer-by-layer
+    decoder; non-f32 codecs always use stock."""
+    import os
+    if (codec.dtype == jnp.float32
+            and os.environ.get("PROMPT_TTS_FOLDED_DECODE", "1") != "0"):
+        from prompt_tts_tpu.codec.folded import decode_folded
+        return decode_folded(codec, params, codes)
+    return codec.apply(params, codes, method=EncodecCodec.decode)
+
+
 class CodecRunner:
     """Codec-only encode/decode with jitted device programs.
 
@@ -53,7 +68,7 @@ class CodecRunner:
             )(jax.random.PRNGKey(1))
         self.codec_params = codec_params
         self._decode = jax.jit(
-            lambda p, c: self.codec.apply(p, c, method=EncodecCodec.decode))
+            lambda p, c: codec_decode(self.codec, p, c))
         self._encode = jax.jit(
             lambda p, w: self.codec.apply(p, w, 6.0,
                                           method=EncodecCodec.encode))
@@ -225,8 +240,7 @@ class Synthesizer:
                            prompt=None):
         latents = self._denoise_latents(model_params, x_T, ids, mask, prompt)
         codes = latents_to_codes(latents)
-        wav = self._codec_fast.apply(codec_params, codes,
-                                     method=EncodecCodec.decode)
+        wav = codec_decode(self._codec_fast, codec_params, codes)
         return wav.astype(jnp.float32), codes
 
     def _codes_device(self, model_params, x_T, ids, mask, prompt=None):
@@ -318,8 +332,8 @@ class Synthesizer:
         if not hasattr(self, "_codes_fn"):
             self._codes_fn = jax.jit(self._codes_device)
             self._decode_fn = jax.jit(
-                lambda p, c: self._codec_fast.apply(
-                    p, c, method=EncodecCodec.decode).astype(jnp.float32))
+                lambda p, c: codec_decode(
+                    self._codec_fast, p, c).astype(jnp.float32))
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
         codes = self._codes_fn(self.model_params, *args)
         T = codes.shape[-1]
