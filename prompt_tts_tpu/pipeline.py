@@ -97,7 +97,13 @@ class Synthesizer:
         dtype=jnp.bfloat16,
         codec_dtype=jnp.float32,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ):
+        # mesh: an optional (data, model, seq) jax.sharding.Mesh for
+        # sharded synthesis.  A non-trivial seq axis arms sequence-
+        # parallel attention dispatch (parallel/sp.py — exact ring
+        # attention for self-attn, GSPMD elsewhere) and shards x_T's
+        # latent time, for longer-than-one-chip audio windows.
         # sampler: "ddim" (50-step reference configuration) or "dpm"
         # (DPM-Solver++(2M): comparable quality at ~20-25 steps, ~2x
         # cheaper synthesis).
@@ -111,6 +117,12 @@ class Synthesizer:
         # model, additionally a null (zero-latent) prompt — matching the
         # joint conditioning dropout in train/step.py.
         self.guidance_scale = float(guidance_scale)
+        self.mesh = mesh
+        if mesh is not None:
+            from prompt_tts_tpu.parallel import sp
+            from prompt_tts_tpu.parallel.mesh import seq_size
+            if seq_size(mesh) > 1:
+                sp.enable(mesh)
         self.config = config or Config()
         mcfg = self.config.model
         self._prompted = mcfg.prompt_conditioning
@@ -292,6 +304,17 @@ class Synthesizer:
         x_T = jax.random.normal(
             jax.random.PRNGKey(seed),
             (len(texts), mcfg.sample_size, mcfg.in_channels))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from prompt_tts_tpu.parallel.mesh import (DATA_AXIS, SEQ_AXIS,
+                                                      seq_size)
+            seq = SEQ_AXIS if (seq_size(self.mesh) > 1 and
+                               mcfg.sample_size % seq_size(self.mesh) == 0
+                               ) else None
+            data = (DATA_AXIS if len(texts) % self.mesh.shape[DATA_AXIS]
+                    == 0 else None)
+            x_T = jax.device_put(
+                x_T, NamedSharding(self.mesh, P(data, seq)))
         args = [x_T, jnp.asarray(ids), jnp.asarray(mask)]
         if self._prompted:
             if prompt_codes is None:

@@ -125,6 +125,43 @@ class TestSequenceParallelForward:
         assert sp.ring_trace_count() > before
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
+    def test_sp_synthesis_matches(self):
+        """End-to-end synthesis on a seq mesh == single-device synthesis
+        (the Synthesizer-level SP surface: mesh= arg)."""
+        from prompt_tts_tpu.config import Config
+        from prompt_tts_tpu.pipeline import Synthesizer
+
+        cfg = Config(model=MCFG)
+        sp.disable()
+        ref_synth = Synthesizer(config=cfg, num_inference_steps=2,
+                                dtype=jnp.float32)
+        ref = ref_synth.synthesize(["hello there"])
+
+        ids, mask = ref_synth.tokenizer.encode_batch(["hello there"])
+        x_T = jax.random.normal(jax.random.PRNGKey(0),
+                                (1, MCFG.sample_size, MCFG.in_channels))
+        lat_ref = np.asarray(jax.jit(ref_synth._denoise_latents)(
+            ref_synth.model_params, x_T, jnp.asarray(ids),
+            jnp.asarray(mask)))
+
+        mesh = make_mesh(n_data=1, n_model=1, n_seq=4,
+                         devices=jax.devices()[:4])
+        before = sp.ring_trace_count()
+        sp_synth = Synthesizer(config=cfg, num_inference_steps=2,
+                               dtype=jnp.float32, mesh=mesh,
+                               model_params=ref_synth.model_params,
+                               codec_params=ref_synth.codec_params)
+        # latent equivalence is strict (pre-quantization; code rounding
+        # could flip at exact boundaries under f32 reassociation)
+        lat_sp = np.asarray(jax.jit(sp_synth._denoise_latents)(
+            sp_synth.model_params, x_T, jnp.asarray(ids),
+            jnp.asarray(mask)))
+        assert sp.ring_trace_count() > before
+        np.testing.assert_allclose(lat_sp, lat_ref, atol=2e-5)
+        # and the full text->wav program runs on the mesh
+        out = sp_synth.synthesize(["hello there"])
+        assert out.shape == ref.shape and np.isfinite(out).all()
+
     def test_indivisible_lengths_fall_back(self):
         """T not divisible by sp -> XLA path, still correct (no crash)."""
         cfg = ModelConfig(

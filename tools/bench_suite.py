@@ -118,6 +118,37 @@ def main():
             results["latency_s_single_utt_serving_p90"] = round(
                 sorted(times)[int(0.9 * (len(times) - 1))], 3)
 
+        if bs == 8:
+            # pipelined serving: dispatch batch i+1 BEFORE pulling i's
+            # audio (what cli/serve.py's two-stage batcher does)
+            seeds = [jax.random.normal(jax.random.PRNGKey(i), x_T.shape)
+                     for i in range(n_serving)]
+            run = lambda i: synth._synth_fn(
+                synth.model_params, synth.codec_params, seeds[i], ids,
+                mask)[0]
+            np.asarray(run(0))  # ensure compiled
+            t0 = time.perf_counter()
+            dev = run(0)
+            for i in range(n_serving):
+                nxt = run(i + 1) if i + 1 < n_serving else None
+                np.asarray(dev)
+                dev = nxt
+            per = (time.perf_counter() - t0) / n_serving
+            results["rtf_batch8_serving_pipelined"] = round(
+                bs * 12.0 / per, 1)
+
+        if bs == 1:
+            # streaming first-audio latency: call -> first decoded chunk
+            # on the host (chunk 300 frames = 4 s of audio)
+            fa_times = []
+            for i in range(n_serving):
+                t0 = time.perf_counter()
+                next(synth.synthesize_stream(texts8[:1], seed=i,
+                                             chunk_frames=300))
+                fa_times.append(time.perf_counter() - t0)
+            results["latency_s_first_audio_p50"] = round(
+                statistics.median(fa_times), 3)
+
     # --- codec throughput (batch 8 x 12 s), device-program ---
     codec = synth.codec
     cp = synth.codec_params
