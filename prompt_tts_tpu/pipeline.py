@@ -46,7 +46,12 @@ def codec_decode(codec, params, codes: jnp.ndarray) -> jnp.ndarray:
     PROMPT_TTS_FOLDED_DECODE=0 falls back to the stock layer-by-layer
     decoder; non-f32 codecs always use stock."""
     import os
-    if (codec.dtype == jnp.float32
+    cfg = codec.config
+    ra, rb = cfg.upsampling_ratios[-2:]
+    foldable = (cfg.num_residual_layers == 1
+                and cfg.residual_kernel_size - 1 < ra       # reflect slots
+                and cfg.last_kernel_size - 1 < ra * rb)     # fit one group
+    if (codec.dtype == jnp.float32 and foldable
             and os.environ.get("PROMPT_TTS_FOLDED_DECODE", "1") != "0"):
         from prompt_tts_tpu.codec.folded import decode_folded
         return decode_folded(codec, params, codes)

@@ -165,9 +165,10 @@ def main():
     codes8 = jax.random.randint(jax.random.PRNGKey(1), (8, 8, 900), 0, 1024)
 
     def dec_body(c, cp_, codes_):
+        from prompt_tts_tpu.pipeline import codec_decode
         zero = jnp.int32(c * 1e-38)  # runtime 0: keeps decode in the chain
-        w = codec.apply(cp_, jnp.clip(codes_ + zero, 0, 1023),
-                        method=EncodecCodec.decode)
+        # production dispatch: folded tail on the f32 path (codec/folded.py)
+        w = codec_decode(codec, cp_, jnp.clip(codes_ + zero, 0, 1023))
         return 1.0 + jnp.mean(w).astype(jnp.float32) * 1e-20
 
     results["codec_decode_xrt"] = round(
