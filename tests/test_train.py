@@ -117,7 +117,7 @@ class TestTrainStep:
 
     def test_batch_sharded_over_data_axis(self, synth_data):
         mesh = make_mesh()
-        assert mesh.devices.shape == (8, 1)
+        assert mesh.devices.shape == (8, 1, 1)  # (data, model, seq)
         batch = next(synth_data.batches(8))
         sharded = shard_batch(batch, mesh)
         # each of the 8 CPU devices holds 1 example
