@@ -68,8 +68,9 @@ def main():
                                     method=EncodecCodec.encode)
         codes = np.asarray(codes)  # [1, 8, F]
 
-        ours = np.asarray(codec.apply(params, jnp.asarray(codes),
-                                      method=EncodecCodec.decode)
+        # production dispatch: folded tail on the f32 path
+        from prompt_tts_tpu.pipeline import codec_decode
+        ours = np.asarray(codec_decode(codec, params, jnp.asarray(codes))
                           .astype(jnp.float32))[0]
         with torch.no_grad():
             theirs = tm.decode(
