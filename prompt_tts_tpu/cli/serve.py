@@ -246,6 +246,9 @@ def main(argv=None):
 
     batcher = _Batcher(synth, args.max_batch, args.batch_window_ms / 1e3,
                        prompted=synth._prompted)
+    # streaming requests bypass the batcher; bound their in-flight device
+    # work like the batcher's pending queue bounds batched work
+    stream_slots = threading.Semaphore(2)
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1: required for chunked transfer encoding (the streaming
@@ -262,6 +265,13 @@ def main(argv=None):
                 seed = int(req.get("seed", 0))
                 stream = bool(req.get("stream", False))
                 chunk_frames = int(req.get("chunk_frames", 300))
+                # quantize to T/8 multiples: every distinct prefix length
+                # compiles a fresh device program (minutes through the
+                # TPU tunnel), so client-chosen values must map onto a
+                # BOUNDED shape set
+                T = synth.config.model.sample_size
+                q = max(1, -(-T // 8))          # ceil(T/8)
+                chunk_frames = min(max(q * round(chunk_frames / q), q), T)
             except Exception as e:  # noqa: BLE001
                 self.send_error(400, f"bad request: {e}")
                 return
@@ -281,15 +291,9 @@ def main(argv=None):
             if "error" in slot:
                 self.send_error(500, slot["error"])
                 return
-            buf = io.BytesIO()
-            # write wav into memory via a temp path-free encoder
-            import tempfile, os
-            with tempfile.NamedTemporaryFile(suffix=".wav",
-                                             delete=False) as f:
-                tmp = f.name
-            write_wav(tmp, slot["wav"], SAMPLE_RATE)
-            data = open(tmp, "rb").read()
-            os.unlink(tmp)
+            from prompt_tts_tpu.utils.wav import pcm16_bytes, wav_header
+            data = (wav_header(len(slot["wav"]), SAMPLE_RATE)
+                    + pcm16_bytes(slot["wav"]))
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(data)))
@@ -307,28 +311,30 @@ def main(argv=None):
             if prompt is not None:
                 kw["prompt_codes"] = prompt[None]
             n_total = synth.config.model.sample_size * 320
-            try:
-                gen = synth.synthesize_stream(
-                    [text], seed=seed, chunk_frames=chunk_frames, **kw)
-                first = next(gen)                 # denoise + first chunk
-            except Exception as e:  # noqa: BLE001
-                self.send_error(500, str(e))
-                return
-            self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
+            with stream_slots:
+                try:
+                    gen = synth.synthesize_stream(
+                        [text], seed=seed, chunk_frames=chunk_frames, **kw)
+                    first = next(gen)             # denoise + first chunk
+                except Exception as e:  # noqa: BLE001
+                    self.send_error(500, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
 
-            def chunk(data: bytes):
-                self.wfile.write(f"{len(data):X}\r\n".encode())
-                self.wfile.write(data)
-                self.wfile.write(b"\r\n")
-                self.wfile.flush()
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+                    self.wfile.flush()
 
-            chunk(wav_header(n_total, SAMPLE_RATE) + pcm16_bytes(first[0]))
-            for piece in gen:
-                chunk(pcm16_bytes(piece[0]))
-            self.wfile.write(b"0\r\n\r\n")
+                chunk(wav_header(n_total, SAMPLE_RATE)
+                      + pcm16_bytes(first[0]))
+                for piece in gen:
+                    chunk(pcm16_bytes(piece[0]))
+                self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):
             if self.path == "/healthz":

@@ -38,7 +38,12 @@ class UnigramDecoder:
         if os.path.exists(sp_path):
             with open(sp_path) as f:
                 for v in json.load(f).values():
-                    special.add(v["content"] if isinstance(v, dict) else v)
+                    # values are strings, {"content": ...} dicts, or LISTS
+                    # of either (additional_special_tokens)
+                    items = v if isinstance(v, list) else [v]
+                    for item in items:
+                        special.add(item["content"]
+                                    if isinstance(item, dict) else item)
         self.special_ids = {i for i, t in self.id_to_token.items()
                             if t in special}
 

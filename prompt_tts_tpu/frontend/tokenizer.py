@@ -50,8 +50,10 @@ class Tokenizer:
     def __post_init__(self):
         if self.cmudict is None:
             self.cmudict = default_cmudict()
+        import threading
         self._cache: dict = {}
         self._cache_max = 4096
+        self._cache_lock = threading.Lock()  # serve tokenizes from threads
 
     def ids(self, text: str) -> List[int]:
         """Variable-length interspersed id sequence for one utterance.
@@ -59,16 +61,18 @@ class Tokenizer:
         Results are memoized (serving re-tokenizes repeated texts —
         warmups, retries, popular phrases; phonemization is the only
         ms-scale host step on the request path)."""
-        cached = self._cache.get(text)
+        with self._cache_lock:
+            cached = self._cache.get(text)
         if cached is None:
             cached = intersperse(
                 text_to_sequence(text, list(self.cleaner_names),
                                  self.cmudict),
                 SEP_ID,
             )
-            if len(self._cache) >= self._cache_max:
-                self._cache.pop(next(iter(self._cache)))  # FIFO evict
-            self._cache[text] = cached
+            with self._cache_lock:
+                if len(self._cache) >= self._cache_max:
+                    self._cache.pop(next(iter(self._cache)))  # FIFO evict
+                self._cache[text] = cached
         return list(cached)
 
     def encode(self, text: str):

@@ -123,11 +123,11 @@ class Synthesizer:
         # joint conditioning dropout in train/step.py.
         self.guidance_scale = float(guidance_scale)
         self.mesh = mesh
+        self._sp_mesh = None
         if mesh is not None:
-            from prompt_tts_tpu.parallel import sp
             from prompt_tts_tpu.parallel.mesh import seq_size
             if seq_size(mesh) > 1:
-                sp.enable(mesh)
+                self._sp_mesh = mesh
         self.config = config or Config()
         mcfg = self.config.model
         self._prompted = mcfg.prompt_conditioning
@@ -157,11 +157,23 @@ class Synthesizer:
             if self._prompted:
                 init_args = init_args + (
                     jnp.zeros((1, mcfg.prompt_frames, mcfg.in_channels)),)
-            model_params = jax.jit(self.model.init)(rng, *init_args)
+            with self._sp_scope():
+                model_params = jax.jit(self.model.init)(rng, *init_args)
         self.model_params = model_params
         self.codec_params = self._codec_runner.codec_params
 
         self._synth_fn = jax.jit(self._synthesize_device)
+
+    def _sp_scope(self):
+        """Context that arms ring-attention dispatch for THIS synthesizer's
+        mesh only while its programs trace — scoped, so several
+        Synthesizer/Trainer objects with different meshes in one process
+        never leak arming into each other's (lazy) traces."""
+        if self._sp_mesh is None:
+            import contextlib
+            return contextlib.nullcontext()
+        from prompt_tts_tpu.parallel import sp
+        return sp.sequence_parallel(self._sp_mesh)
 
     def _cross_kv(self, model_params, context):
         """Precompute the UNet's cross-attention k/v from the loop-invariant
@@ -280,8 +292,9 @@ class Synthesizer:
         ``[B, n_q, Tp]`` int.
         """
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
-        wav, codes = self._synth_fn(self.model_params, self.codec_params,
-                                    *args)
+        with self._sp_scope():
+            wav, codes = self._synth_fn(self.model_params,
+                                        self.codec_params, *args)
         wav = np.asarray(wav)
         if return_codes:
             return wav, np.asarray(codes)
@@ -298,8 +311,9 @@ class Synthesizer:
         _Batcher does exactly that).
         """
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
-        wav, _codes = self._synth_fn(self.model_params, self.codec_params,
-                                     *args)
+        with self._sp_scope():
+            wav, _codes = self._synth_fn(self.model_params,
+                                         self.codec_params, *args)
         return wav
 
     def _device_args(self, texts, seed, prompt_wav=None, prompt_codes=None):
@@ -363,7 +377,8 @@ class Synthesizer:
                 lambda p, c: codec_decode(
                     self._codec_fast, p, c).astype(jnp.float32))
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
-        codes = self._codes_fn(self.model_params, *args)
+        with self._sp_scope():
+            codes = self._codes_fn(self.model_params, *args)
         T = codes.shape[-1]
         bounds = list(range(chunk_frames, T, chunk_frames)) + [T]
         prev = 0

@@ -70,10 +70,7 @@ class Trainer:
         self.dataset = dataset
         self.mesh = (mesh if mesh is not None
                      else make_mesh(n_model=n_model, n_seq=n_seq))
-        if seq_size(self.mesh) > 1:
-            # arm ring-attention dispatch for every trace made by this
-            # process (module-level state, consulted at trace time)
-            sp.enable(self.mesh)
+        self._sp_mesh = self.mesh if seq_size(self.mesh) > 1 else None
         model_cls = (TTSPromptSpeaker if config.model.prompt_conditioning
                      else TTSSingleSpeaker)
         self.model = model_cls(config.model, dtype=dtype)
@@ -109,13 +106,19 @@ class Trainer:
         else:
             self._state_sharding = None
         batch_sh = None
-        if seq_size(self.mesh) > 1:
+        if self._sp_mesh is not None:
             # peek one batch for its exact key set (datasets add extras
             # like code_len): jit in_shardings dicts must match the batch
-            # pytree structure exactly
-            example = next(self.dataset.batches(tcfg.batch_size))
-            batch_sh = {k: batch_key_sharding(self.mesh, k)
-                        for k in example}
+            # pytree structure exactly.  An empty dataset falls back to
+            # plain data-sharding (training is a no-op there anyway).
+            try:
+                example = next(self.dataset.batches(tcfg.batch_size))
+                batch_sh = {k: batch_key_sharding(self.mesh, k)
+                            for k in example}
+            except StopIteration:
+                log.warning("dataset yields no batch at batch_size=%d: "
+                            "seq-sharding disabled", tcfg.batch_size)
+                self._sp_mesh = None
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob),
@@ -124,6 +127,15 @@ class Trainer:
             batch_sharding=batch_sh,
         )
         self.global_step = 0
+
+    def _sp_scope(self):
+        """Arm ring-attention dispatch for this trainer's mesh only while
+        its step traces (scoped — see parallel/sp.py; avoids leaking the
+        process-global arming into other objects' lazy traces)."""
+        if self._sp_mesh is None:
+            import contextlib
+            return contextlib.nullcontext()
+        return sp.sequence_parallel(self._sp_mesh)
 
     def restore_latest(self) -> Optional[int]:
         if self.ckpt is None or self.ckpt.latest_step() is None:
@@ -179,7 +191,9 @@ class Trainer:
                     import os
                     trace_dir = os.path.join(self.metrics._log_dir, "xprof")
                     jax.profiler.start_trace(trace_dir)
-                self.state, m = self._step_fn(self.state, sharded, step_rng)
+                with self._sp_scope():
+                    self.state, m = self._step_fn(self.state, sharded,
+                                                  step_rng)
                 self.global_step += 1
                 if (self.profile_steps
                         and self.global_step == 2 + self.profile_steps):
@@ -224,7 +238,9 @@ class Trainer:
         for i, batch in enumerate(dataset.batches(tcfg.batch_size)):
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), i)
             sharded = shard_batch(batch, self.mesh)
-            total += float(self._eval_fn(self.state.params, sharded, rng))
+            with self._sp_scope():
+                total += float(self._eval_fn(self.state.params, sharded,
+                                             rng))
             n += 1
         if n == 0:
             raise ValueError(

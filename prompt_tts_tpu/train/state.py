@@ -29,6 +29,21 @@ def make_optimizer(
         num_warmup_steps=cfg.lr_warmup_steps,
         num_training_steps=num_training_steps,
     )
+    def decay_mask(params):
+        # torch registers frozen buffers OUTSIDE the optimizer; the one
+        # param-shaped buffer here is GaussianFourierProjection's weight
+        # (models/embeddings.py — requires_grad=False in torch). Its grads
+        # are already stop_gradient-zeroed; masking it from adamw keeps
+        # DECOUPLED weight decay from shrinking it too. Everything else
+        # decays, matching the reference (train.py:41-47 passes all
+        # params).
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not (
+                len(path) >= 2
+                and getattr(path[-2], "key", None) == "time_proj"
+                and getattr(path[-1], "key", None) == "weight"),
+            params)
+
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
@@ -37,6 +52,7 @@ def make_optimizer(
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
+            mask=decay_mask,
         ),
     )
     if cfg.gradient_accumulation_steps > 1:

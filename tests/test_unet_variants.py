@@ -112,6 +112,39 @@ class TestGaussianFourierTimeEmbedding:
         g = jax.grad(lambda p: mod.apply(p, t).sum())(params)
         assert np.all(np.asarray(g["params"]["weight"]) == 0.0)
 
+    def test_weight_frozen_through_optimizer_step(self):
+        """torch registers the Fourier weight with requires_grad=False
+        (outside the optimizer); here stop_gradient zeroes its grads AND
+        the adamw decay mask (train/state.py) must exempt it from
+        decoupled weight decay, or it silently shrinks every step."""
+        from prompt_tts_tpu.config import TrainConfig
+        from prompt_tts_tpu.train.state import create_train_state
+
+        cfg = ModelConfig(time_embedding_type="fourier", **TINY)
+        model = UNet1DCondition(cfg)
+        B = 2
+        sample = jax.random.normal(jax.random.PRNGKey(0),
+                                   (B, cfg.sample_size, cfg.in_channels))
+        t = jnp.asarray([3, 250])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (B, cfg.cmu_seq_len, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(2), sample, t, ctx)
+        tcfg = TrainConfig(learning_rate=1e-2, weight_decay=1e-2,
+                           lr_warmup_steps=0, lr_scheduler="constant")
+        state = create_train_state(model, params, tcfg, 10)
+        before = np.asarray(
+            state.params["params"]["time_proj"]["weight"]).copy()
+
+        def loss(p):
+            return jnp.mean(model.apply(p, sample, t, ctx) ** 2)
+
+        for _ in range(3):
+            grads = jax.grad(loss)(state.params)
+            state = state.apply_gradients(grads=grads)
+        after = np.asarray(state.params["params"]["time_proj"]["weight"])
+        np.testing.assert_array_equal(after, before)
+
     def test_in_unet(self):
         cfg = ModelConfig(time_embedding_type="fourier", **TINY)
         model, params, (sample, t, ctx), out = _unet_forward(cfg)

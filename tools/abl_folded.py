@@ -28,7 +28,9 @@ def chain_s(fn, params, codes, iters, trials=3):
     float(jfn(params, codes))
     best = float("inf")
     for trial in range(trials):
-        cc = jnp.roll(codes, trial, axis=0)
+        # roll by trial+1: trial 0 must not repeat the warmup bytes
+        # (relay cache — CLAUDE.md)
+        cc = jnp.roll(codes, trial + 1, axis=2)
         t0 = time.perf_counter()
         float(jfn(params, cc))
         best = min(best, time.perf_counter() - t0)

@@ -64,15 +64,21 @@ def main():
             float(run(*args))  # compile + warmup
             best = float("inf")
             for trial in range(trials):
-                # perturb one input per trial (batch-roll: same values,
-                # different bytes, identical compute): byte-identical
+                # perturb one input per trial: byte-identical
                 # re-executions can be served from the relay cache
-                # (CLAUDE.md), collapsing the min to the RPC floor
+                # (CLAUDE.md), collapsing the min to the RPC floor.
+                # Floats: scale by 1+eps (never identity, works at
+                # batch 1); ints: roll the LARGEST axis by trial+1.
                 a = list(args)
                 for j, x in enumerate(a):
-                    if hasattr(x, "dtype") and getattr(x, "ndim", 0) > 0:
-                        a[j] = jnp.roll(x, trial, axis=0)
-                        break
+                    if not hasattr(x, "dtype") or getattr(x, "ndim", 0) == 0:
+                        continue
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        a[j] = x * (1.0 + 1e-6 * (trial + 1))
+                    else:
+                        axis = int(np.argmax(x.shape))
+                        a[j] = jnp.roll(x, trial + 1, axis=axis)
+                    break
                 t0 = time.perf_counter()
                 float(run(*a))
                 best = min(best, time.perf_counter() - t0)
