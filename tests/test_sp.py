@@ -152,10 +152,13 @@ class TestSequenceParallelForward:
                                model_params=ref_synth.model_params,
                                codec_params=ref_synth.codec_params)
         # latent equivalence is strict (pre-quantization; code rounding
-        # could flip at exact boundaries under f32 reassociation)
-        lat_sp = np.asarray(jax.jit(sp_synth._denoise_latents)(
-            sp_synth.model_params, x_T, jnp.asarray(ids),
-            jnp.asarray(mask)))
+        # could flip at exact boundaries under f32 reassociation);
+        # arming is SCOPED, so a direct jit of the denoise body needs the
+        # synthesizer's own scope (synthesize() applies it internally)
+        with sp_synth._sp_scope():
+            lat_sp = np.asarray(jax.jit(sp_synth._denoise_latents)(
+                sp_synth.model_params, x_T, jnp.asarray(ids),
+                jnp.asarray(mask)))
         assert sp.ring_trace_count() > before
         np.testing.assert_allclose(lat_sp, lat_ref, atol=2e-5)
         # and the full text->wav program runs on the mesh
