@@ -50,6 +50,16 @@ def parse_args(argv=None):
                    help="Directory of reference *.wav files for a "
                         "prompt-conditioned model; each is registered as "
                         "a speaker under its filename stem.")
+    p.add_argument("--ema", action="store_true",
+                   help="Serve the checkpoint's EMA params (requires "
+                        "training with --ema_decay).")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel serving: Megatron-shard the "
+                        "denoiser over the mesh 'model' axis "
+                        "(multi-chip latency).")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Sequence-parallel serving: shard latent time "
+                        "over the mesh 'seq' axis (ring attention).")
     return p.parse_args(argv)
 
 
@@ -181,16 +191,34 @@ def main(argv=None):
                 (1, cfg.model.prompt_frames, cfg.model.in_channels)),)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
         state = create_train_state(model, params, cfg.train, 1)
-        state, step = CheckpointManager(args.ckpt_dir).restore(state)
+        mgr = CheckpointManager(args.ckpt_dir)
+        if args.ema:
+            # restore target needs the ema slot regardless of the train
+            # config the checkpoint was written under
+            state = state.replace(ema_params=params)
+        state, step = mgr.restore(state)
         logging.info("restored checkpoint at step %d", step)
-        model_params = state.params
+        if args.ema:
+            if not mgr.has_item("ema_params", step):
+                raise SystemExit(
+                    f"--ema: checkpoint step {step} has no ema_params "
+                    "(train with --ema_decay to produce one)")
+            model_params = state.ema_params
+            logging.info("serving EMA params")
+        else:
+            model_params = state.params
         config = cfg
 
+    mesh = None
+    if args.tp > 1 or args.sp > 1:
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_model=args.tp, n_seq=args.sp)
     synth = Synthesizer(config=config, model_params=model_params,
                         sampler=args.sampler,
                         codec_params=codec_params,
                         num_inference_steps=args.steps,
-                        guidance_scale=args.guidance_scale)
+                        guidance_scale=args.guidance_scale,
+                        mesh=mesh)
 
     # --- speaker registry (prompt-conditioned models) ---
     import numpy as np

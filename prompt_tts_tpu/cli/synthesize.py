@@ -22,6 +22,9 @@ def parse_args(argv=None):
                    help="Output wav path (index appended for batches).")
     p.add_argument("--ckpt_dir", type=str, default=None,
                    help="Trained model checkpoint dir (orbax).")
+    p.add_argument("--ema", action="store_true",
+                   help="Sample from the checkpoint's EMA params "
+                        "(requires training with --ema_decay).")
     p.add_argument("--ref_ckpt", type=str, default=None,
                    help="Reference torch checkpoint (ckpt_N.pt from the "
                         "original repo's train.py) — converted on the fly.")
@@ -33,6 +36,14 @@ def parse_args(argv=None):
     p.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim",
                    help="ddim (reference 50-step config) or dpm "
                         "(DPM-Solver++(2M): ~20-25 steps suffice).")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel synthesis degree: Megatron-shard "
+                        "the denoiser over the mesh 'model' axis "
+                        "(multi-chip batch-1 latency).")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Sequence-parallel synthesis degree: shard latent "
+                        "time over the mesh 'seq' axis (ring attention; "
+                        "longer-than-one-chip audio windows).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--guidance_scale", type=float, default=1.0,
                    help="Classifier-free guidance scale (>1 needs a "
@@ -92,9 +103,21 @@ def main(argv=None):
             jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
         state = create_train_state(model, params, cfg.train, 1)
         mgr = CheckpointManager(args.ckpt_dir)
+        if args.ema:
+            # restore target needs the ema slot regardless of the train
+            # config the checkpoint was written under
+            state = state.replace(ema_params=params)
         state, step = mgr.restore(state)
         logging.info("restored model checkpoint at step %d", step)
-        model_params = state.params
+        if args.ema:
+            if not mgr.has_item("ema_params", step):
+                raise SystemExit(
+                    f"--ema: checkpoint step {step} has no ema_params "
+                    "(train with --ema_decay to produce one)")
+            model_params = state.ema_params
+            logging.info("sampling from EMA params")
+        else:
+            model_params = state.params
         config = cfg
 
     codec_params = None
@@ -107,6 +130,12 @@ def main(argv=None):
             "no --codec_params given: using RANDOM codec weights "
             "(output will be noise; for pipeline smoke only)")
 
+    mesh = None
+    if args.tp > 1 or args.sp > 1:
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_model=args.tp, n_seq=args.sp)
+        logging.info("sharded synthesis over mesh %s", dict(mesh.shape))
+
     synth = Synthesizer(
         config=config,
         model_params=model_params,
@@ -114,6 +143,7 @@ def main(argv=None):
         num_inference_steps=args.steps,
         sampler=args.sampler,
         guidance_scale=args.guidance_scale,
+        mesh=mesh,
     )
     prompt_wav = None
     if args.prompt_wav:

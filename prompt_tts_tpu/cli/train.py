@@ -41,6 +41,16 @@ def parse_args(argv=None):
     p.add_argument("--profile_steps", type=int, default=0,
                    help="Capture a jax.profiler trace of N steps into "
                         "<log_dir>/xprof (0 = off).")
+    p.add_argument("--init_from_ref", type=str, default=None,
+                   help="Warm-start from a reference torch checkpoint "
+                        "(ckpt_N.pt from the original repo's train.py), "
+                        "converted on the fly — continue a migrated "
+                        "training run here. Fresh optimizer state; "
+                        "mutually exclusive with --resume.")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="Maintain an exponential moving average of the "
+                        "params at this decay (e.g. 0.9999); checkpointed "
+                        "as 'ema_params', sampled via synthesize --ema.")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--remat", action="store_true",
@@ -119,6 +129,11 @@ def main(argv=None):
         config = dataclasses.replace(
             config, train=dataclasses.replace(
                 config.train, batch_size=args.batch_size))
+    if args.ema_decay is not None:
+        import dataclasses
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(
+                config.train, ema_decay=args.ema_decay))
 
     if args.smoke:
         dataset = SyntheticDataset(
@@ -135,6 +150,16 @@ def main(argv=None):
             dataset = CodeDataset(args.data_file,
                                   max_seq_length=args.max_seq_length)
 
+    init_params = None
+    if args.init_from_ref:
+        if args.resume:
+            raise SystemExit("--init_from_ref and --resume are mutually "
+                             "exclusive (resume restores params itself)")
+        from prompt_tts_tpu.models.convert import load_reference_checkpoint
+        init_params = load_reference_checkpoint(args.init_from_ref)
+        logging.info("warm-starting from converted reference checkpoint %s",
+                     args.init_from_ref)
+
     trainer = Trainer(
         config, dataset,
         log_dir=args.log_dir,
@@ -145,6 +170,7 @@ def main(argv=None):
         remat=args.remat,
         profile_steps=args.profile_steps,
         eval_every=args.eval_every,
+        init_params=init_params,
     )
     if args.resume:
         trainer.restore_latest()

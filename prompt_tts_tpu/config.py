@@ -131,6 +131,11 @@ class TrainConfig:
     # conditioning during training (0 = reference behavior, train.py has
     # no CFG). Enables guidance_scale > 1 at sampling time.
     cond_dropout_prob: float = 0.0
+    # exponential moving average of the params (0 = off = reference
+    # behavior, train.py samples from raw optimizer iterates). Typical
+    # diffusion value: 0.9999. Updated once per OPTIMIZER step (gated on
+    # the gradient-accumulation boundary), checkpointed alongside params.
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -149,6 +154,13 @@ class Config:
     def from_flat_dict(cls, raw: dict) -> "Config":
         model_fields = {f.name for f in dataclasses.fields(ModelConfig)}
         train_fields = {f.name for f in dataclasses.fields(TrainConfig)}
+        if isinstance(raw.get("model"), dict) or isinstance(
+                raw.get("train"), dict):
+            # nested form (what to_json writes) — flatten so saved configs
+            # round-trip instead of silently loading as defaults
+            nested = dict(raw.get("model") or {})
+            nested.update(raw.get("train") or {})
+            raw = nested
         mk = {}
         tk = {}
         for k, v in raw.items():

@@ -108,7 +108,13 @@ class Synthesizer:
         # sharded synthesis.  A non-trivial seq axis arms sequence-
         # parallel attention dispatch (parallel/sp.py — exact ring
         # attention for self-attn, GSPMD elsewhere) and shards x_T's
-        # latent time, for longer-than-one-chip audio windows.
+        # latent time, for longer-than-one-chip audio windows.  A
+        # non-trivial model axis Megatron-shards the TTS model params
+        # (parallel/tp.py rules) so the denoiser itself runs tensor-
+        # parallel — the multi-chip batch-1 latency axis: each denoise
+        # step's matmuls split over the model axis with GSPMD all-
+        # reduces over ICI.  Codec params stay replicated (decode is
+        # ~5% of synthesis).
         # sampler: "ddim" (50-step reference configuration) or "dpm"
         # (DPM-Solver++(2M): comparable quality at ~20-25 steps, ~2x
         # cheaper synthesis).
@@ -159,6 +165,9 @@ class Synthesizer:
                     jnp.zeros((1, mcfg.prompt_frames, mcfg.in_channels)),)
             with self._sp_scope():
                 model_params = jax.jit(self.model.init)(rng, *init_args)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from prompt_tts_tpu.parallel.tp import shard_params
+            model_params = shard_params(model_params, mesh)
         self.model_params = model_params
         self.codec_params = self._codec_runner.codec_params
 

@@ -36,6 +36,8 @@ class CheckpointManager:
             "params": ocp.args.StandardSave(state.params),
             "opt_state": ocp.args.StandardSave(state.opt_state),
         }
+        if state.ema_params is not None:
+            composite["ema_params"] = ocp.args.StandardSave(state.ema_params)
         if rng is not None:
             # save the training PRNG key (legacy uint32 layout) for exact
             # resume
@@ -81,6 +83,11 @@ class CheckpointManager:
             "params": ocp.args.StandardRestore(state.params),
             "opt_state": ocp.args.StandardRestore(state.opt_state),
         }
+        want_ema = (state.ema_params is not None
+                    and self.has_item("ema_params", step))
+        if want_ema:
+            composite["ema_params"] = ocp.args.StandardRestore(
+                state.ema_params)
         if with_rng:
             composite["rng"] = ocp.args.ArrayRestore()
         restored = self._mgr.restore(
@@ -90,6 +97,14 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=step,
         )
+        if state.ema_params is not None:
+            # legacy checkpoint without an EMA entry: re-seed the average
+            # from the restored params, as a REAL copy (aliased leaves
+            # would be donated twice by the train step and rejected)
+            state = state.replace(
+                ema_params=restored["ema_params"] if want_ema
+                else jax.tree.map(lambda x: jax.numpy.array(x),
+                                  restored["params"]))
         if with_rng:
             rng = restored.get("rng")
             rng = None if rng is None else jax.numpy.asarray(rng)

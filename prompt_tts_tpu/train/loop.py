@@ -51,6 +51,7 @@ class Trainer:
         profile_steps: int = 0,
         eval_every: int = 0,
         eval_dataset=None,
+        init_params=None,
     ):
         # profile_steps > 0: capture a jax.profiler trace of that many steps
         # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
@@ -63,6 +64,12 @@ class Trainer:
         # attention runs as ring attention; parallel/sp.py).
         # eval_every > 0: run a deterministic eval pass (Trainer.evaluate)
         # every that-many epochs, logged as Loss/eval.
+        # init_params: warm-start params (e.g. a converted reference
+        # ckpt_N.pt via models.convert.load_reference_checkpoint — the
+        # migration path for users mid-training on the original repo);
+        # must match the model's own init tree exactly. Optimizer state
+        # starts fresh, as the reference's train.py would after its own
+        # (absent) restore.
         self.profile_steps = profile_steps
         self.eval_every = eval_every
         self.eval_dataset = eval_dataset
@@ -97,6 +104,8 @@ class Trainer:
             init_batch = init_batch + (
                 jnp.zeros((1, mcfg.prompt_frames, mcfg.in_channels)),)
         params = jax.jit(self.model.init)(init_rng, *init_batch)
+        if init_params is not None:
+            params = self._adopt_init_params(params, init_params)
         self.state = create_train_state(
             self.model, params, tcfg, self.num_training_steps)
 
@@ -121,12 +130,35 @@ class Trainer:
                 self._sp_mesh = None
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
-                            cond_dropout_prob=tcfg.cond_dropout_prob),
+                            cond_dropout_prob=tcfg.cond_dropout_prob,
+                            ema_decay=tcfg.ema_decay,
+                            accum_steps=tcfg.gradient_accumulation_steps),
             self.mesh,
             state_sharding=self._state_sharding,
             batch_sharding=batch_sh,
         )
         self.global_step = 0
+
+    @staticmethod
+    def _adopt_init_params(params, init_params):
+        """Validate warm-start params against the model's own init tree
+        (same leaves, same shapes) and adopt them at the init dtypes."""
+        ref_paths = {jax.tree_util.keystr(p): l.shape for p, l in
+                     jax.tree_util.tree_leaves_with_path(params)}
+        got_paths = {jax.tree_util.keystr(p): jnp.shape(l) for p, l in
+                     jax.tree_util.tree_leaves_with_path(init_params)}
+        if ref_paths != got_paths:
+            missing = sorted(set(ref_paths) - set(got_paths))[:5]
+            extra = sorted(set(got_paths) - set(ref_paths))[:5]
+            shapes = sorted(k for k in ref_paths
+                            if k in got_paths
+                            and ref_paths[k] != got_paths[k])[:5]
+            raise ValueError(
+                "init_params do not match this model config: "
+                f"missing={missing} extra={extra} shape-mismatch={shapes} "
+                "(is the config the checkpoint was trained under?)")
+        return jax.tree.map(lambda p, q: jnp.asarray(q, p.dtype),
+                            params, init_params)
 
     def _sp_scope(self):
         """Arm ring-attention dispatch for this trainer's mesh only while

@@ -8,6 +8,7 @@ Gradient accumulation (reference train.py:27, 80) is ``optax.MultiSteps``.
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
@@ -16,7 +17,15 @@ from prompt_tts_tpu.train.lr import get_schedule
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState; ``apply_fn`` is model.apply."""
+    """flax TrainState; ``apply_fn`` is model.apply.
+
+    ``ema_params``: exponential moving average of the params (None when
+    EMA is off).  Standard diffusion-training practice the reference
+    lacks entirely; sampling from the EMA weights is markedly more
+    stable than from the raw optimizer iterates.
+    """
+
+    ema_params: Any = None
 
 
 def make_optimizer(
@@ -66,8 +75,15 @@ def create_train_state(
     cfg: TrainConfig,
     num_training_steps: int,
 ) -> TrainState:
+    # a REAL copy, not an identity tree.map: aliased leaves would put the
+    # same buffer in the donated TrainState twice (params + ema), which
+    # XLA rejects at execute time ("attempt to donate the same buffer
+    # twice")
+    ema = (jax.tree.map(lambda x: jnp.array(x), params)
+           if getattr(cfg, "ema_decay", 0.0) > 0.0 else None)
     return TrainState.create(
         apply_fn=model.apply,
         params=params,
         tx=make_optimizer(cfg, num_training_steps),
+        ema_params=ema,
     )

@@ -89,14 +89,38 @@ def make_train_step(
     schedule: DiffusionSchedule,
     remat: bool = False,
     cond_dropout_prob: float = 0.0,
+    ema_decay: float = 0.0,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
-    """Un-jitted train step; jit/shard with :func:`jit_train_step`."""
+    """Un-jitted train step; jit/shard with :func:`jit_train_step`.
+
+    ``ema_decay`` > 0 maintains ``state.ema_params`` inside the same XLA
+    program (one fused lerp over the param tree — negligible next to the
+    backward pass). With gradient accumulation the EMA only moves on the
+    boundary micro-step where MultiSteps actually applied the update;
+    in-between micro-steps leave it bit-identical (decay 1.0).
+    """
     loss_fn = make_loss_fn(apply_fn, schedule, remat=remat,
                            cond_dropout_prob=cond_dropout_prob)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         new_state = state.apply_gradients(grads=grads)
+        if ema_decay > 0.0 and state.ema_params is not None:
+            if accum_steps > 1:
+                # TrainState.step counts micro-steps; MultiSteps applies on
+                # every accum_steps-th call, so params changed iff the new
+                # step is a multiple of accum_steps
+                applied = (new_state.step % accum_steps) == 0
+                d = jnp.where(applied, ema_decay, 1.0)
+            else:
+                d = ema_decay
+            ema = jax.tree.map(
+                lambda e, p: (e.astype(jnp.float32) * d
+                              + p.astype(jnp.float32) * (1.0 - d)
+                              ).astype(e.dtype),
+                state.ema_params, new_state.params)
+            new_state = new_state.replace(ema_params=ema)
         metrics = {
             "loss": loss,
             "grad_norm": optax_global_norm(grads),

@@ -34,6 +34,15 @@ class TestArgParsing:
         from prompt_tts_tpu.cli.serve import parse_args
         a = parse_args(["--port", "9000", "--max_batch", "4"])
         assert a.port == 9000 and a.max_batch == 4
+        # sharded/EMA serving surface mirrors synthesize's
+        a = parse_args(["--tp", "2", "--sp", "2", "--ema"])
+        assert a.tp == 2 and a.sp == 2 and a.ema
+
+    def test_synthesize_sharding_and_ema_args(self):
+        from prompt_tts_tpu.cli.synthesize import parse_args
+        a = parse_args(["--text", "x", "--out", "o.wav",
+                        "--tp", "4", "--sp", "2", "--ema"])
+        assert a.tp == 4 and a.sp == 2 and a.ema
 
 
 class TestTrimHelper:

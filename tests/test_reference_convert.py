@@ -104,3 +104,55 @@ class TestReferenceConversion:
         mismatched = {k: (exp_paths[k], got_paths[k])
                       for k in exp_paths if exp_paths[k] != got_paths[k]}
         assert not mismatched, mismatched
+
+
+class TestWarmStart:
+    """`train --init_from_ref ckpt_N.pt`: continue a reference-trained run
+    here (Trainer(init_params=...) adopts the converted tree)."""
+
+    def _dataset(self):
+        from prompt_tts_tpu.data import SyntheticDataset
+        return SyntheticDataset(n=8, frames=CFG.sample_size,
+                                max_seq_length=CFG.cmu_seq_len)
+
+    def test_trainer_adopts_converted_params(self, tmp_path):
+        from prompt_tts_tpu.config import Config, TrainConfig
+        from prompt_tts_tpu.train.loop import Trainer
+
+        ref = RefTTS(CFG)
+        converted = convert_reference_state_dict(ref.state_dict())
+        cfg = Config(model=CFG,
+                     train=TrainConfig(batch_size=8, num_train_epochs=1,
+                                       learning_rate=1e-3,
+                                       lr_warmup_steps=0))
+        t = Trainer(cfg, self._dataset(), log_dir=str(tmp_path / "logs"),
+                    init_params=converted)
+        # the state's params ARE the converted weights, not a fresh init
+        got = jax.tree_util.tree_leaves_with_path(t.state.params)
+        want = {jax.tree_util.keystr(p): np.asarray(l) for p, l in
+                jax.tree_util.tree_leaves_with_path(converted)}
+        for p, leaf in got:
+            np.testing.assert_array_equal(
+                np.asarray(leaf), want[jax.tree_util.keystr(p)],
+                err_msg=jax.tree_util.keystr(p))
+        # and training proceeds from them
+        loss = t.train(epochs=1)
+        assert math.isfinite(loss)
+
+    def test_mismatched_config_rejected(self, tmp_path):
+        from prompt_tts_tpu.config import Config, TrainConfig
+        from prompt_tts_tpu.train.loop import Trainer
+
+        ref = RefTTS(CFG)
+        converted = convert_reference_state_dict(ref.state_dict())
+        import dataclasses
+        other = dataclasses.replace(CFG, block_out_channels=(16, 16, 32, 32))
+        cfg = Config(model=other, train=TrainConfig(batch_size=4))
+        with pytest.raises(ValueError, match="init_params"):
+            Trainer(cfg, self._dataset(), log_dir=str(tmp_path / "logs"),
+                    init_params=converted)
+
+    def test_cli_rejects_resume_plus_init(self):
+        from prompt_tts_tpu.cli.train import main as train_main
+        with pytest.raises(SystemExit, match="mutually exclusive"):
+            train_main(["--smoke", "--resume", "--init_from_ref", "x.pt"])

@@ -111,6 +111,65 @@ class TestTPTrainStep:
         assert leaf.sharding.spec == P(None, MODEL_AXIS)
 
 
+class TestTPSynthesis:
+    def test_tp_synthesis_matches_unsharded(self):
+        """Synthesizer(mesh with model axis 2) — the synthesize --tp
+        surface — Megatron-shards the denoiser params and must produce
+        the same DENOISED LATENTS as the unsharded program (f32, same
+        seed).  The comparison is pre-quantization: latents_to_codes
+        rounds to 1024 levels, so an f32-reassociation-level latent
+        difference (TP splits every matmul's reduction) can flip a code
+        at an exact rounding boundary, and one flipped RVQ index decodes
+        to a legitimately different waveform over its receptive field —
+        audio equality is the wrong assertion (same rationale as
+        test_sp.py's latent check)."""
+        from prompt_tts_tpu.config import Config
+        from prompt_tts_tpu.pipeline import Synthesizer
+
+        cfg = Config(model=TINY)
+        base = Synthesizer(config=cfg, num_inference_steps=4,
+                           dtype=jnp.float32)
+        ids, mask = base.tokenizer.encode_batch(["hello world", "a test"])
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        x_T = jax.random.normal(
+            jax.random.PRNGKey(3),
+            (2, TINY.sample_size, TINY.in_channels))
+        lat_ref = np.asarray(jax.jit(base._denoise_latents)(
+            base.model_params, x_T, ids, mask))
+
+        mesh = make_mesh(n_model=2)
+        tp = Synthesizer(config=cfg,
+                         model_params=jax.tree.map(jnp.array,
+                                                   base.model_params),
+                         codec_params=base.codec_params,
+                         num_inference_steps=4, dtype=jnp.float32,
+                         mesh=mesh)
+        # a TP-ruled kernel is actually laid out over the model axis
+        leaf = None
+        for path, l in jax.tree_util.tree_leaves_with_path(
+                tp.model_params):
+            s = "/".join(str(getattr(k, "key", k)) for k in path)
+            if s.endswith("to_q/kernel"):
+                leaf = l
+                break
+        assert leaf is not None
+        assert leaf.sharding.spec == P(None, MODEL_AXIS)
+
+        lat_tp = np.asarray(jax.jit(tp._denoise_latents)(
+            tp.model_params, x_T, ids, mask))
+        np.testing.assert_allclose(lat_tp, lat_ref, atol=2e-4)
+
+        # and the full audio program runs end to end under the mesh,
+        # with codes agreeing except for boundary flips
+        wav_ref, codes_ref = base.synthesize(
+            ["hello world", "a test"], seed=3, return_codes=True)
+        wav_tp, codes_tp = tp.synthesize(
+            ["hello world", "a test"], seed=3, return_codes=True)
+        assert wav_tp.shape == wav_ref.shape
+        agree = float((codes_tp == codes_ref).mean())
+        assert agree > 0.99, f"code agreement {agree:.4f}"
+
+
 class TestTPCheckpointRoundTrip:
     def test_save_restore_tp_sharded_state(self, tmp_path):
         """Save a 4x2 TP-sharded TrainState, restore into a fresh one:

@@ -240,6 +240,87 @@ class TestTrainerTPAndEval:
         assert not t.ckpt.has_item("nonexistent", step)
 
 
+class TestEMA:
+    def _init_state(self, cfg, synth_data):
+        model = TTSSingleSpeaker(cfg.model)
+        batch = next(synth_data.batches(8))
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["codes"][:1]), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(batch["text_ids"][:1]),
+            jnp.asarray(batch["text_mask"][:1]),
+        )
+        return model, batch, create_train_state(model, params, cfg.train,
+                                                1000)
+
+    def test_ema_matches_manual_recursion(self, synth_data):
+        cfg = tiny_config(ema_decay=0.5)  # large step so drift is visible
+        mesh = make_mesh()
+        model, batch, state = self._init_state(cfg, synth_data)
+        assert state.ema_params is not None
+        step = jit_train_step(
+            make_train_step(model.apply, linear_schedule(),
+                            ema_decay=cfg.train.ema_decay), mesh)
+        sharded = shard_batch(batch, mesh)
+        leaf = lambda t: np.asarray(jax.tree.leaves(t)[0], np.float64)
+        ema_ref = leaf(state.ema_params)
+        for i in range(3):
+            state, _ = step(state, sharded, jax.random.PRNGKey(i))
+            ema_ref = 0.5 * ema_ref + 0.5 * leaf(state.params)
+        np.testing.assert_allclose(leaf(state.ema_params), ema_ref,
+                                   atol=1e-6)
+        # and the EMA genuinely lags the raw params
+        assert float(np.abs(leaf(state.ema_params)
+                            - leaf(state.params)).max()) > 0
+
+    def test_ema_gated_on_accumulation_boundary(self, synth_data):
+        cfg = tiny_config(ema_decay=0.5, gradient_accumulation_steps=2)
+        mesh = make_mesh()
+        model, batch, state = self._init_state(cfg, synth_data)
+        step = jit_train_step(
+            make_train_step(model.apply, linear_schedule(),
+                            ema_decay=0.5, accum_steps=2), mesh)
+        sharded = shard_batch(batch, mesh)
+        leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+        e0 = leaf(state.ema_params)
+        # micro-step 1: params unchanged (accumulating) -> EMA bit-equal
+        state, _ = step(state, sharded, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(e0, leaf(state.ema_params))
+        # micro-step 2: MultiSteps applied -> EMA moves
+        state, _ = step(state, sharded, jax.random.PRNGKey(2))
+        assert float(np.abs(e0 - leaf(state.ema_params)).max()) > 0
+
+    def test_trainer_ema_checkpoint_roundtrip(self, synth_data, tmp_path):
+        cfg = tiny_config(num_train_epochs=1, ema_decay=0.9)
+        t = Trainer(cfg, synth_data, log_dir=str(tmp_path / "logs"),
+                    ckpt_dir=str(tmp_path / "ckpt"))
+        t.train(epochs=1)
+        step = t.ckpt.latest_step()
+        assert t.ckpt.has_item("ema_params", step)
+        t2 = Trainer(cfg, synth_data, log_dir=str(tmp_path / "logs2"),
+                     ckpt_dir=str(tmp_path / "ckpt"))
+        t2.restore_latest()
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(t.state.ema_params)[0]),
+            np.asarray(jax.tree.leaves(t2.state.ema_params)[0]))
+
+    def test_restore_seeds_ema_from_legacy_checkpoint(self, synth_data,
+                                                      tmp_path):
+        # checkpoint written WITHOUT ema; restoring into an EMA-enabled
+        # state must seed the average from the restored params
+        cfg_off = tiny_config(num_train_epochs=1)
+        t = Trainer(cfg_off, synth_data, log_dir=str(tmp_path / "logs"),
+                    ckpt_dir=str(tmp_path / "ckpt"))
+        t.train(epochs=1)
+        cfg_on = tiny_config(num_train_epochs=1, ema_decay=0.9)
+        t2 = Trainer(cfg_on, synth_data, log_dir=str(tmp_path / "logs2"),
+                     ckpt_dir=str(tmp_path / "ckpt"))
+        t2.restore_latest()
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(t2.state.ema_params)[0]),
+            np.asarray(jax.tree.leaves(t2.state.params)[0]))
+
+
 class TestPromptCropReseeding:
     def test_crops_vary_across_epochs(self):
         data = SyntheticDataset(n=8, frames=48, max_seq_length=32,
