@@ -172,41 +172,16 @@ def main(argv=None):
         from prompt_tts_tpu.codec.io import load_codec_params
         codec_params = load_codec_params(args.codec_params)
 
+    if args.ema and not args.ckpt_dir:
+        raise SystemExit("--ema requires --ckpt_dir (EMA params live in "
+                         "orbax checkpoints produced by train --ema_decay)")
+
     model_params = None
     if args.ckpt_dir:
-        import jax.numpy as jnp
-        from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
-        from prompt_tts_tpu.train.checkpoint import CheckpointManager
-        from prompt_tts_tpu.train.state import create_train_state
+        from prompt_tts_tpu.cli._common import restore_model_params
         cfg = config or Config()
-        prompted_cfg = cfg.model.prompt_conditioning
-        model_cls = TTSPromptSpeaker if prompted_cfg else TTSSingleSpeaker
-        model = model_cls(cfg.model)
-        ids = jnp.zeros((1, cfg.model.cmu_seq_len), jnp.int32)
-        init_args = (
-            jnp.zeros((1, cfg.model.sample_size, cfg.model.in_channels)),
-            jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
-        if prompted_cfg:
-            init_args = init_args + (jnp.zeros(
-                (1, cfg.model.prompt_frames, cfg.model.in_channels)),)
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
-        state = create_train_state(model, params, cfg.train, 1)
-        mgr = CheckpointManager(args.ckpt_dir)
-        if args.ema:
-            # restore target needs the ema slot regardless of the train
-            # config the checkpoint was written under
-            state = state.replace(ema_params=params)
-        state, step = mgr.restore(state)
-        logging.info("restored checkpoint at step %d", step)
-        if args.ema:
-            if not mgr.has_item("ema_params", step):
-                raise SystemExit(
-                    f"--ema: checkpoint step {step} has no ema_params "
-                    "(train with --ema_decay to produce one)")
-            model_params = state.ema_params
-            logging.info("serving EMA params")
-        else:
-            model_params = state.params
+        model_params, _ = restore_model_params(args.ckpt_dir, cfg,
+                                               ema=args.ema)
         config = cfg
 
     mesh = None

@@ -82,42 +82,21 @@ def main(argv=None):
 
     config = Config.from_json(args.config_file) if args.config_file else None
 
+    if args.ema and not args.ckpt_dir:
+        raise SystemExit("--ema requires --ckpt_dir (EMA params live in "
+                         "orbax checkpoints produced by train --ema_decay)")
+
     model_params = None
     if args.ref_ckpt:
         from prompt_tts_tpu.models.convert import load_reference_checkpoint
         model_params = load_reference_checkpoint(args.ref_ckpt)
         logging.info("converted reference checkpoint %s", args.ref_ckpt)
     elif args.ckpt_dir:
-        import jax
-        import jax.numpy as jnp
-        from prompt_tts_tpu.models import TTSSingleSpeaker
-        from prompt_tts_tpu.train.checkpoint import CheckpointManager
-        from prompt_tts_tpu.train.state import create_train_state
+        from prompt_tts_tpu.cli._common import restore_model_params
         from prompt_tts_tpu.config import Config as Cfg
         cfg = config or Cfg()
-        model = TTSSingleSpeaker(cfg.model)
-        ids = jnp.zeros((1, cfg.model.cmu_seq_len), jnp.int32)
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfg.model.sample_size, cfg.model.in_channels)),
-            jnp.zeros((1,), jnp.int32), ids, jnp.ones_like(ids))
-        state = create_train_state(model, params, cfg.train, 1)
-        mgr = CheckpointManager(args.ckpt_dir)
-        if args.ema:
-            # restore target needs the ema slot regardless of the train
-            # config the checkpoint was written under
-            state = state.replace(ema_params=params)
-        state, step = mgr.restore(state)
-        logging.info("restored model checkpoint at step %d", step)
-        if args.ema:
-            if not mgr.has_item("ema_params", step):
-                raise SystemExit(
-                    f"--ema: checkpoint step {step} has no ema_params "
-                    "(train with --ema_decay to produce one)")
-            model_params = state.ema_params
-            logging.info("sampling from EMA params")
-        else:
-            model_params = state.params
+        model_params, _ = restore_model_params(args.ckpt_dir, cfg,
+                                               ema=args.ema)
         config = cfg
 
     codec_params = None

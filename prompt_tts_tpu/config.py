@@ -137,6 +137,19 @@ class TrainConfig:
     # the gradient-accumulation boundary), checkpointed alongside params.
     ema_decay: float = 0.0
 
+    def __post_init__(self):
+        if not 0.0 <= self.ema_decay < 1.0:
+            # 1.0 would freeze the EMA at the random init forever —
+            # synthesize --ema would then silently emit noise
+            raise ValueError(
+                f"ema_decay must be in [0, 1), got {self.ema_decay}")
+        if not 0.0 <= self.cond_dropout_prob < 1.0:
+            raise ValueError(
+                f"cond_dropout_prob must be in [0, 1), got "
+                f"{self.cond_dropout_prob}")
+        if self.gradient_accumulation_steps < 1:
+            raise ValueError("gradient_accumulation_steps must be >= 1")
+
 
 @dataclass(frozen=True)
 class Config:
@@ -156,11 +169,15 @@ class Config:
         train_fields = {f.name for f in dataclasses.fields(TrainConfig)}
         if isinstance(raw.get("model"), dict) or isinstance(
                 raw.get("train"), dict):
-            # nested form (what to_json writes) — flatten so saved configs
-            # round-trip instead of silently loading as defaults
-            nested = dict(raw.get("model") or {})
-            nested.update(raw.get("train") or {})
-            raw = nested
+            # nested form (what to_json writes): build each section
+            # directly so saved configs round-trip, and a field name the
+            # two dataclasses might ever share cannot be misrouted
+            def section(src, fields):
+                return {k: tuple(v) if isinstance(v, list) else v
+                        for k, v in (src or {}).items() if k in fields}
+            return cls(
+                model=ModelConfig(**section(raw.get("model"), model_fields)),
+                train=TrainConfig(**section(raw.get("train"), train_fields)))
         mk = {}
         tk = {}
         for k, v in raw.items():
@@ -170,8 +187,6 @@ class Config:
                 mk[k] = v
             elif k in train_fields:
                 tk[k] = v
-            elif k == "attention_head_dim":
-                mk[k] = v
             # unknown keys are ignored (reference does no validation at all)
         return cls(model=ModelConfig(**mk), train=TrainConfig(**tk))
 

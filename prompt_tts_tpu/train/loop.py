@@ -131,8 +131,7 @@ class Trainer:
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob,
-                            ema_decay=tcfg.ema_decay,
-                            accum_steps=tcfg.gradient_accumulation_steps),
+                            ema_decay=tcfg.ema_decay),
             self.mesh,
             state_sharding=self._state_sharding,
             batch_sharding=batch_sh,

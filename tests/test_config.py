@@ -93,3 +93,28 @@ class TestValidation:
     def test_projection_requires_dim(self):
         with pytest.raises(ValueError):
             ModelConfig(class_embed_type="projection")
+
+    def test_ema_decay_range(self):
+        # 1.0 would freeze the EMA at the random init forever
+        with pytest.raises(ValueError, match="ema_decay"):
+            TrainConfig(ema_decay=1.0)
+        with pytest.raises(ValueError, match="ema_decay"):
+            TrainConfig(ema_decay=-0.1)
+        assert TrainConfig(ema_decay=0.9999).ema_decay == 0.9999
+
+    def test_cond_dropout_range(self):
+        with pytest.raises(ValueError, match="cond_dropout_prob"):
+            TrainConfig(cond_dropout_prob=1.0)
+
+    def test_accumulation_floor(self):
+        with pytest.raises(ValueError, match="accumulation"):
+            TrainConfig(gradient_accumulation_steps=0)
+
+    def test_nested_sections_cannot_cross_route(self):
+        # a train-section key that happens to name a model field must not
+        # leak into ModelConfig (and vice versa)
+        cfg = Config.from_flat_dict(
+            {"model": {"sample_size": 48}, "train": {"sample_size": 999,
+                                                     "batch_size": 2}})
+        assert cfg.model.sample_size == 48
+        assert cfg.train.batch_size == 2

@@ -120,3 +120,41 @@ class TestPromptTraining:
             state, m = step(state, sharded, rng)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+class TestPromptedCheckpointRestore:
+    def test_cli_restore_helper_handles_prompted_family(self, tmp_path):
+        """cli/_common.restore_model_params builds the restore template for
+        the PROMPT-CONDITIONED family too (synthesize --ckpt_dir used to
+        hardcode TTSSingleSpeaker and crash on these checkpoints), for both
+        the raw and --ema param picks."""
+        from prompt_tts_tpu.cli._common import restore_model_params
+        from prompt_tts_tpu.train.loop import Trainer
+
+        cfg = Config(model=TINY,
+                     train=TrainConfig(batch_size=8, num_train_epochs=1,
+                                       learning_rate=1e-3, lr_warmup_steps=0,
+                                       ema_decay=0.9))
+        data = SyntheticDataset(n=8, frames=48, max_seq_length=32,
+                                prompt_frames=24)
+        t = Trainer(cfg, data, log_dir=str(tmp_path / "logs"),
+                    ckpt_dir=str(tmp_path / "ckpt"))
+        t.train(epochs=1)
+
+        raw, step = restore_model_params(str(tmp_path / "ckpt"), cfg)
+        ema, _ = restore_model_params(str(tmp_path / "ckpt"), cfg, ema=True)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(raw)[0]),
+            np.asarray(jax.tree.leaves(t.state.params)[0]))
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(ema)[0]),
+            np.asarray(jax.tree.leaves(t.state.ema_params)[0]))
+        # prompt-encoder subtree restored (the family-specific part)
+        assert any("prompt" in jax.tree_util.keystr(p).lower()
+                   for p, _ in jax.tree_util.tree_leaves_with_path(raw))
+
+    def test_ema_request_fails_fast_without_restore(self, tmp_path):
+        from prompt_tts_tpu.cli._common import restore_model_params
+        cfg = Config(model=TINY, train=TrainConfig(batch_size=8))
+        with pytest.raises(SystemExit, match="ema_params"):
+            restore_model_params(str(tmp_path / "empty"), cfg, ema=True)

@@ -279,7 +279,7 @@ class TestEMA:
         model, batch, state = self._init_state(cfg, synth_data)
         step = jit_train_step(
             make_train_step(model.apply, linear_schedule(),
-                            ema_decay=0.5, accum_steps=2), mesh)
+                            ema_decay=0.5), mesh)
         sharded = shard_batch(batch, mesh)
         leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
         e0 = leaf(state.ema_params)
