@@ -142,13 +142,19 @@ def main(argv=None):
     else:
         if not args.data_file:
             raise SystemExit("--data_file is required (or use --smoke)")
+        # prompt-conditioned configs need each batch to carry a speaker
+        # prompt crop; without this the train step has no prompt input
+        pf = (config.model.prompt_frames
+              if config.model.prompt_conditioning else None)
         if args.streaming:
             from prompt_tts_tpu.data.streaming import StreamingCodeDataset
             dataset = StreamingCodeDataset(
-                args.data_file, max_seq_length=args.max_seq_length)
+                args.data_file, max_seq_length=args.max_seq_length,
+                prompt_frames=pf)
         else:
             dataset = CodeDataset(args.data_file,
-                                  max_seq_length=args.max_seq_length)
+                                  max_seq_length=args.max_seq_length,
+                                  prompt_frames=pf)
 
     init_params = None
     if args.init_from_ref:

@@ -33,7 +33,12 @@ def get_schedule(
         return lambda step: jnp.asarray(learning_rate)
 
     if name == "constant_with_warmup":
-        return lambda step: learning_rate * warmup_frac(step)
+        # the `step < warm` guard matters at warm=0: diffusers returns 1.0
+        # there (its warmup branch is unreachable), while a bare
+        # min(1, step/max(warm,1)) yields 0 at step 0 — silently making
+        # the FIRST optimizer update a no-op
+        return lambda step: learning_rate * jnp.where(
+            step < warm, warmup_frac(step), 1.0)
 
     if name == "linear":
         def sched(step):

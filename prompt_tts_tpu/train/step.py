@@ -188,3 +188,27 @@ def make_eval_step(apply_fn: Callable, schedule: DiffusionSchedule):
         return jnp.mean(
             (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
     return eval_step
+
+
+def make_eval_step_at(apply_fn: Callable, schedule: DiffusionSchedule):
+    """Eval loss at a CALLER-FIXED diffusion timestep.
+
+    Same deterministic ε-MSE as :func:`make_eval_step` but every example
+    in the batch is noised to the given timestep ``t`` — evaluating at a
+    fixed grid of timesteps profiles WHERE on the noise schedule a model
+    is weak (low t ≈ fine detail, high t ≈ coarse structure), which a
+    single scalar loss averages away. ``t`` is a traced scalar, so one
+    compiled program serves the whole grid.
+    """
+    def eval_step(params, batch, rng, t):
+        codes = batch["codes"]
+        noise = jax.random.normal(rng, codes.shape, codes.dtype)
+        timesteps = jnp.full((codes.shape[0],), t, jnp.int32)
+        noisy = add_noise(schedule, codes, noise, timesteps)
+        cond = (noisy, timesteps, batch["text_ids"], batch["text_mask"])
+        if "prompt" in batch:
+            cond = cond + (batch["prompt"],)
+        pred = apply_fn(params, *cond, deterministic=True)
+        return jnp.mean(
+            (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+    return eval_step

@@ -59,6 +59,19 @@ class TestLRSchedules:
             assert vals[0] == 0.0 or vals[0] < 1e-4  # warming up
         assert abs(float(s(10)) - 1e-4) < 1e-9  # warmup ends at peak
 
+    @pytest.mark.parametrize("name", [
+        "constant", "constant_with_warmup", "linear", "cosine",
+        "cosine_with_restarts", "polynomial",
+    ])
+    def test_zero_warmup_first_step_at_full_lr(self, name):
+        """diffusers semantics at num_warmup_steps=0: the warmup branch is
+        unreachable, so step 0 already runs at full lr. A bare
+        min(1, step/warmup) form instead silently zeroes the FIRST
+        optimizer update (regression: constant_with_warmup did this)."""
+        s = get_schedule(name, 1e-4, num_warmup_steps=0,
+                         num_training_steps=100)
+        assert float(s(0)) == pytest.approx(1e-4, rel=1e-6)
+
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             get_schedule("bogus", 1e-4)
