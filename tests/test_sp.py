@@ -2,8 +2,9 @@
 
 The seq-sharded train step (latent time over the mesh ``seq`` axis, ring
 attention for self-attn, GSPMD halo exchange for the k=3 convs) must match
-the single-device step to f32 noise — same loss, same grads, same updated
-params — under dp x sp and the full dp x tp x sp 2x2x2 mesh.
+the single-device step to f32 noise — same loss, same grad norm, and the
+same per-leaf gradients (asserted through one SGD update, which is linear
+in the grads) — under dp x sp and the full dp x tp x sp 2x2x2 mesh.
 """
 
 import numpy as np
@@ -51,18 +52,30 @@ def _model_and_batch(batch_size=4):
     return model, batch
 
 
-def _fresh_state(model, batch):
+def _fresh_state(model, batch, sgd=False):
     params = model.init(
         jax.random.PRNGKey(0), jnp.asarray(batch["codes"][:1]),
         jnp.zeros((1,), jnp.int32), jnp.asarray(batch["text_ids"][:1]),
         jnp.asarray(batch["text_mask"][:1]))
+    if sgd:
+        # the equivalence tests diff the UPDATED PARAMS across meshes, so
+        # the update must be LINEAR in the grads: a first Adam step is
+        # g/(|g|+eps) ~ sign(g)-shaped and amplifies f32-noise-level
+        # gradient differences on near-zero coordinates into +-lr param
+        # differences (loss/grad_norm match while params look unrelated)
+        import optax
+
+        from prompt_tts_tpu.train.state import TrainState
+        return TrainState.create(apply_fn=model.apply, params=params,
+                                 tx=optax.sgd(TCFG.learning_rate))
     return create_train_state(model, params, TCFG, 100)
 
 
 def _one_step(model, batch, mesh, use_sp, state_sh_fn=None):
-    """Fresh state -> one jitted step on ``mesh`` -> host-side results."""
+    """Fresh SGD state -> one jitted step on ``mesh`` -> host results."""
     sp.enable(mesh) if use_sp else sp.disable()
-    state = _fresh_state(model, batch)
+    state = _fresh_state(model, batch, sgd=True)
+    p0 = jax.tree.map(np.asarray, jax.device_get(state.params))
     state_sh = state_sh_fn(state, mesh) if state_sh_fn else None
     batch_sh = batch_shardings(mesh, batch) if use_sp else None
     step = jit_train_step(
@@ -70,8 +83,9 @@ def _one_step(model, batch, mesh, use_sp, state_sh_fn=None):
         state_sharding=state_sh, batch_sharding=batch_sh)
     new_state, m = step(state, shard_batch(batch, mesh),
                         jax.random.PRNGKey(7))
-    params = jax.tree.map(np.asarray, jax.device_get(new_state.params))
-    return float(m["loss"]), float(m["grad_norm"]), params
+    updates = jax.tree.map(lambda new, old: np.asarray(new) - old,
+                           jax.device_get(new_state.params), p0)
+    return float(m["loss"]), float(m["grad_norm"]), updates
 
 
 class TestSequenceParallelTrainStep:
@@ -88,6 +102,9 @@ class TestSequenceParallelTrainStep:
 
         assert np.isclose(loss_ref, loss_sp, rtol=1e-4), (loss_ref, loss_sp)
         assert np.isclose(gn_ref, gn_sp, rtol=1e-3), (gn_ref, gn_sp)
+        # SGD updates are -lr * grads, so this compares the full gradient
+        # trees to f32 reduction noise (atol covers noise-dominated
+        # near-zero coordinates, whose lr-scaled updates are ~1e-10)
         flat_ref = jax.tree_util.tree_leaves_with_path(p_ref)
         flat_sp = dict(
             (jax.tree_util.keystr(k), v)
@@ -95,7 +112,7 @@ class TestSequenceParallelTrainStep:
         for key, ref in flat_ref:
             np.testing.assert_allclose(
                 flat_sp[jax.tree_util.keystr(key)], ref,
-                rtol=1e-3, atol=2e-5, err_msg=jax.tree_util.keystr(key))
+                rtol=2e-3, atol=5e-8, err_msg=jax.tree_util.keystr(key))
 
     def test_dp2_sp4_matches_single_device(self):
         self._compare(make_mesh(n_data=2, n_model=1, n_seq=4))
