@@ -154,4 +154,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # the chip/tunnel can be unavailable (observed: axon backend init
+        # raising after its retry window) — the driver still expects ONE
+        # parseable JSON line, so report the failure as data, then fail
+        print(json.dumps({
+            "metric": "rtf_text_to_wav",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise SystemExit(1)
