@@ -1,7 +1,8 @@
 """Batching TTS inference server: ``python -m prompt_tts_tpu.cli.serve``.
 
 A serving surface the reference never had: HTTP POST /synthesize with
-``{"text": "...", "seed": 0}`` (or a JSON list of texts) returns a WAV.
+``{"text": "...", "seed": 0}`` returns a WAV (one utterance per request;
+concurrent requests share a device batch).
 Requests are micro-batched up to ``--max_batch`` within ``--batch_window_ms``
 so concurrent callers share one device program invocation — the jitted
 program has a static batch size, so the server pads the batch and slices
@@ -69,9 +70,12 @@ class _Batcher:
     Two-stage pipeline: the dispatcher thread builds batches and enqueues
     the device program WITHOUT blocking (Synthesizer.synthesize_async —
     JAX dispatch is async), the collector thread performs the blocking
-    host transfer and fulfills request slots.  Batch k's ~9 MB audio pull
+    host transfer and fulfills request slots.  Batch k's audio pull
     therefore overlaps batch k+1's device compute instead of serializing
-    with it (round-2 measured a ~31% serving RTF loss to host transfers).
+    with it (round-2 measured a ~31% serving RTF loss to host transfers);
+    the pull itself is device-quantized int16 PCM (pcm16=True) — ~4.6 MB
+    per batch-8 window instead of f32's ~9.2 MB, bit-identical to the
+    16-bit WAV the response carries anyway.
 
     Note: one device invocation uses one PRNG seed, so requests batched
     together share the first request's ``seed`` for their noise draw
@@ -126,8 +130,12 @@ class _Batcher:
                 prompts = prompts + [fill] * (self.max_batch - len(prompts))
                 kw["prompt_codes"] = np.stack(prompts)
             try:
+                # pcm16=True: quantize to int16 ON DEVICE — half the host
+                # pull and no host float->int16 pass; bit-identical to
+                # pcm16_bytes of the float wav (the response is 16-bit
+                # WAV either way)
                 dev_wav = self.synth.synthesize_async(
-                    padded, seed=batch[0][1], **kw)
+                    padded, seed=batch[0][1], pcm16=True, **kw)
                 self.pending.put((batch, dev_wav))
             except Exception as e:  # noqa: BLE001 — report per request
                 for b in batch:
@@ -140,7 +148,8 @@ class _Batcher:
         while True:
             batch, dev_wav = self.pending.get()
             try:
-                wavs = np.asarray(dev_wav)       # blocking host transfer
+                # blocking host transfer of int16 PCM (half of f32)
+                wavs = np.asarray(dev_wav).astype("<i2", copy=False)
                 for i, b in enumerate(batch):
                     s = b[3]
                     s["wav"] = wavs[i]
@@ -234,16 +243,33 @@ def main(argv=None):
         raise SystemExit(
             "--speakers needs a prompt-conditioned model config")
 
+    # quantize client chunk_frames onto a BOUNDED shape set: every distinct
+    # prefix length compiles a fresh device program (minutes through the
+    # TPU tunnel).  The same function maps the warmup and the handler so
+    # the default-chunk programs are compiled BEFORE "ready".
+    T_frames = synth.config.model.sample_size
+    _q = max(1, -(-T_frames // 8))           # ceil(T/8)
+
+    def quantize_chunk(frames: int) -> int:
+        return min(max(_q * round(frames / _q), _q), T_frames)
+
+    default_chunk = quantize_chunk(300)
+
     logging.info("warming up (compiling the device programs)...")
     if synth._prompted:
         first = next(iter(speakers.values()))
-        synth.synthesize([""] * args.max_batch,
-                         prompt_codes=np.stack([first] * args.max_batch))
-        for _ in synth.synthesize_stream([""], prompt_codes=first[None]):
+        np.asarray(synth.synthesize_async(
+            [""] * args.max_batch, pcm16=True,
+            prompt_codes=np.stack([first] * args.max_batch)))
+        for _ in synth.synthesize_stream([""], pcm16=True,
+                                         chunk_frames=default_chunk,
+                                         prompt_codes=first[None]):
             pass                     # compile the streaming-path programs
     else:
-        synth.synthesize([""] * args.max_batch)
-        for _ in synth.synthesize_stream([""]):
+        np.asarray(synth.synthesize_async([""] * args.max_batch,
+                                          pcm16=True))
+        for _ in synth.synthesize_stream([""], pcm16=True,
+                                         chunk_frames=default_chunk):
             pass
     logging.info("ready")
 
@@ -252,6 +278,22 @@ def main(argv=None):
     # streaming requests bypass the batcher; bound their in-flight device
     # work like the batcher's pending queue bounds batched work
     stream_slots = threading.Semaphore(2)
+
+    # --- serving stats (GET /stats): counters + a sliding latency window ---
+    stats_lock = threading.Lock()
+    stats = {"requests": 0, "errors": 0, "streamed": 0,
+             "started": time.time()}
+    lat_window: list = []               # last <=256 request latencies (s)
+
+    def record(t0: float, error: bool = False, streamed: bool = False):
+        dt = time.time() - t0
+        with stats_lock:
+            stats["requests"] += 1
+            stats["errors"] += int(error)
+            stats["streamed"] += int(streamed)
+            lat_window.append(dt)
+            if len(lat_window) > 256:
+                del lat_window[: len(lat_window) - 256]
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1: required for chunked transfer encoding (the streaming
@@ -267,14 +309,10 @@ def main(argv=None):
                 text = req["text"]
                 seed = int(req.get("seed", 0))
                 stream = bool(req.get("stream", False))
-                chunk_frames = int(req.get("chunk_frames", 300))
-                # quantize to T/8 multiples: every distinct prefix length
-                # compiles a fresh device program (minutes through the
-                # TPU tunnel), so client-chosen values must map onto a
-                # BOUNDED shape set
-                T = synth.config.model.sample_size
-                q = max(1, -(-T // 8))          # ceil(T/8)
-                chunk_frames = min(max(q * round(chunk_frames / q), q), T)
+                # quantized so client-chosen values map onto the bounded
+                # shape set whose default the warmup already compiled
+                chunk_frames = quantize_chunk(
+                    int(req.get("chunk_frames", default_chunk)))
             except Exception as e:  # noqa: BLE001
                 self.send_error(400, f"bad request: {e}")
                 return
@@ -286,40 +324,49 @@ def main(argv=None):
                         400, f"unknown speaker {name!r}; see /speakers")
                     return
                 prompt = speakers[name]
+            t0 = time.time()
             if stream:
-                self._stream_response(text, seed, prompt, chunk_frames)
+                self._stream_response(text, seed, prompt, chunk_frames, t0)
                 return
             slot = batcher.submit(text, seed, prompt)
             slot["done"].wait(timeout=600)
             if "error" in slot:
+                record(t0, error=True)
                 self.send_error(500, slot["error"])
                 return
-            from prompt_tts_tpu.utils.wav import pcm16_bytes, wav_header
+            from prompt_tts_tpu.utils.wav import wav_header
+            # slot["wav"] is already little-endian int16 (device-quantized)
             data = (wav_header(len(slot["wav"]), SAMPLE_RATE)
-                    + pcm16_bytes(slot["wav"]))
+                    + slot["wav"].tobytes())
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+            record(t0)
 
-        def _stream_response(self, text, seed, prompt, chunk_frames=300):
+        def _stream_response(self, text, seed, prompt, chunk_frames=300,
+                             t0=None):
             """Chunked-transfer WAV: first audio bytes leave after ONE
             decoded chunk instead of the full 12 s window (the causal
             codec decoder makes prefix decode exact —
             pipeline.synthesize_stream).  Streaming requests bypass the
             batcher: time-to-first-byte is the point, not throughput."""
-            from prompt_tts_tpu.utils.wav import pcm16_bytes, wav_header
+            from prompt_tts_tpu.utils.wav import wav_header
             kw = {}
             if prompt is not None:
                 kw["prompt_codes"] = prompt[None]
             n_total = synth.config.model.sample_size * 320
+            t0 = time.time() if t0 is None else t0
             with stream_slots:
                 try:
+                    # pcm16=True: chunks arrive device-quantized int16
                     gen = synth.synthesize_stream(
-                        [text], seed=seed, chunk_frames=chunk_frames, **kw)
+                        [text], seed=seed, chunk_frames=chunk_frames,
+                        pcm16=True, **kw)
                     first = next(gen)             # denoise + first chunk
                 except Exception as e:  # noqa: BLE001
+                    record(t0, error=True, streamed=True)
                     self.send_error(500, str(e))
                     return
                 self.send_response(200)
@@ -333,17 +380,40 @@ def main(argv=None):
                     self.wfile.write(b"\r\n")
                     self.wfile.flush()
 
-                chunk(wav_header(n_total, SAMPLE_RATE)
-                      + pcm16_bytes(first[0]))
+                def pcm(piece):
+                    return piece[0].astype("<i2", copy=False).tobytes()
+
+                chunk(wav_header(n_total, SAMPLE_RATE) + pcm(first))
                 for piece in gen:
-                    chunk(pcm16_bytes(piece[0]))
+                    chunk(pcm(piece))
                 self.wfile.write(b"0\r\n\r\n")
+                record(t0, streamed=True)
 
         def do_GET(self):
             if self.path == "/healthz":
                 body = b'{"status": "ok"}'
             elif self.path == "/speakers":
                 body = json.dumps(sorted(speakers)).encode()
+            elif self.path == "/stats":
+                with stats_lock:
+                    lat = sorted(lat_window)
+                    body_obj = {
+                        "requests": stats["requests"],
+                        "errors": stats["errors"],
+                        "streamed": stats["streamed"],
+                        "uptime_s": round(time.time() - stats["started"], 1),
+                        "queue_depth": batcher.q.qsize(),
+                        "batches_in_flight": batcher.pending.qsize(),
+                    }
+                    if lat:
+                        # same nearest-rank formula for both quantiles so
+                        # p50 <= p90 holds at ANY window size (mixed
+                        # upper-median/floor indexing inverts at n=2)
+                        def pct(q):
+                            return round(lat[int(q * (len(lat) - 1))], 4)
+                        body_obj["latency_s_p50"] = pct(0.5)
+                        body_obj["latency_s_p90"] = pct(0.9)
+                body = json.dumps(body_obj).encode()
             else:
                 self.send_error(404)
                 return
@@ -357,8 +427,29 @@ def main(argv=None):
             logging.info("%s " + fmt, self.address_string(), *fmt_args)
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
+
+    # graceful shutdown: SIGTERM stops accepting connections, drains the
+    # batcher's queued + in-flight work, then exits 0 (the production
+    # rollout contract — in-flight synthesis requests complete)
+    import signal
+
+    def _sigterm(signum, frame):
+        logging.info("SIGTERM: draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
     logging.info("serving on http://%s:%d", args.host, args.port)
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        deadline = time.monotonic() + 30
+        while (time.monotonic() < deadline
+               and (batcher.q.qsize() or batcher.pending.qsize())):
+            time.sleep(0.05)
+        time.sleep(0.2)     # grace for fulfilled handlers to write out
+        server.server_close()
+        logging.info("drained; exiting")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,17 @@ def latents_to_codes(latents: jnp.ndarray) -> jnp.ndarray:
     return c.transpose(0, 2, 1)
 
 
+def wav_to_pcm16(wav: jnp.ndarray) -> jnp.ndarray:
+    """float wav in [-1, 1] -> int16 PCM, on device.
+
+    Bit-identical to ``utils.wav.pcm16_bytes`` (both are
+    clip(round-half-to-even(x * 32767))), so a serving path can quantize
+    on device and pull HALF the bytes — the served WAV is 16-bit anyway,
+    making this lossless for the wire format."""
+    return jnp.clip(jnp.round(wav * 32767.0),
+                    -32768.0, 32767.0).astype(jnp.int16)
+
+
 def codec_decode(codec, params, codes: jnp.ndarray) -> jnp.ndarray:
     """Decode dispatch: the f32 path uses the folded decoder tail
     (codec/folded.py — the lane-starved C=64/32 stages as block-banded
@@ -281,6 +292,15 @@ class Synthesizer:
         wav = codec_decode(self._codec_fast, codec_params, codes)
         return wav.astype(jnp.float32), codes
 
+    def _synthesize_device_pcm16(self, model_params, codec_params, x_T,
+                                 ids, mask, prompt=None):
+        """Like ``_synthesize_device`` but the wav leaves the device as
+        int16 PCM — half the host-transfer bytes, zero loss for a 16-bit
+        wire format (see :func:`wav_to_pcm16`)."""
+        wav, codes = self._synthesize_device(model_params, codec_params,
+                                             x_T, ids, mask, prompt)
+        return wav_to_pcm16(wav), codes
+
     def _codes_device(self, model_params, x_T, ids, mask, prompt=None):
         """Denoise to int codes only (no decode) — the streaming path."""
         return latents_to_codes(
@@ -310,7 +330,7 @@ class Synthesizer:
         return wav
 
     def synthesize_async(self, texts, seed: int = 0, prompt_wav=None,
-                         prompt_codes=None):
+                         prompt_codes=None, pcm16: bool = False):
         """Dispatch the device program; return the DEVICE wav (no host pull).
 
         JAX dispatch is asynchronous, so this returns as soon as the
@@ -318,11 +338,18 @@ class Synthesizer:
         host transfer.  A serving loop can therefore overlap batch k's
         host pull with batch k+1's device compute (cli/serve.py
         _Batcher does exactly that).
+
+        ``pcm16=True`` quantizes to int16 ON DEVICE — half the transfer
+        bytes and no host float->int16 pass, bit-identical to
+        ``utils.wav.pcm16_bytes`` of the float result (the production
+        serve path; lossless for 16-bit WAV responses).
         """
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
+        if pcm16 and not hasattr(self, "_synth_fn_pcm16"):
+            self._synth_fn_pcm16 = jax.jit(self._synthesize_device_pcm16)
+        fn = self._synth_fn_pcm16 if pcm16 else self._synth_fn
         with self._sp_scope():
-            wav, _codes = self._synth_fn(self.model_params,
-                                         self.codec_params, *args)
+            wav, _codes = fn(self.model_params, self.codec_params, *args)
         return wav
 
     def _device_args(self, texts, seed, prompt_wav=None, prompt_codes=None):
@@ -367,8 +394,11 @@ class Synthesizer:
         chunk_frames: int = 300,
         prompt_wav: Optional[np.ndarray] = None,
         prompt_codes: Optional[np.ndarray] = None,
+        pcm16: bool = False,
     ):
-        """Yield float32 wav chunks ``[B, chunk*320]`` as they decode.
+        """Yield float32 wav chunks ``[B, chunk*320]`` as they decode
+        (int16 PCM chunks with ``pcm16=True`` — quantized on device, for
+        streaming 16-bit WAV responses).
 
         First audio leaves after denoise + ONE chunk-prefix decode instead
         of the full 12 s window: the SEANet decoder is causal (causal
@@ -385,6 +415,10 @@ class Synthesizer:
             self._decode_fn = jax.jit(
                 lambda p, c: codec_decode(
                     self._codec_fast, p, c).astype(jnp.float32))
+            self._decode_fn_pcm16 = jax.jit(
+                lambda p, c: wav_to_pcm16(codec_decode(
+                    self._codec_fast, p, c).astype(jnp.float32)))
+        decode = self._decode_fn_pcm16 if pcm16 else self._decode_fn
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
         with self._sp_scope():
             codes = self._codes_fn(self.model_params, *args)
@@ -392,7 +426,7 @@ class Synthesizer:
         bounds = list(range(chunk_frames, T, chunk_frames)) + [T]
         prev = 0
         for end in bounds:
-            wav = self._decode_fn(self.codec_params, codes[:, :, :end])
+            wav = decode(self.codec_params, codes[:, :, :end])
             yield np.asarray(wav[:, prev * 320: end * 320])
             prev = end
 

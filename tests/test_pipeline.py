@@ -99,6 +99,22 @@ class TestSynthesizerSmoke:
         np.testing.assert_allclose(
             np.concatenate(chunks, axis=1), wav, atol=2e-5)
 
+        # device-side PCM16 (the serving wire format): bit-identical to
+        # host-side pcm16_bytes of the float wav
+        from prompt_tts_tpu.utils.wav import pcm16_bytes
+        pcm = np.asarray(synth.synthesize_async(
+            ["hello world", "printing"], pcm16=True))
+        assert pcm.dtype == np.int16
+        assert pcm.astype("<i2", copy=False).tobytes() == pcm16_bytes(wav)
+        stream_pcm = np.concatenate(
+            list(synth.synthesize_stream(
+                ["hello world", "printing"], chunk_frames=16,
+                pcm16=True)), axis=1)
+        assert stream_pcm.dtype == np.int16
+        full_f32 = np.concatenate(chunks, axis=1)
+        assert (stream_pcm.astype("<i2", copy=False).tobytes()
+                == pcm16_bytes(full_f32))
+
 
 class TestLongFormSynthesis:
     def test_split_packs_sentences_within_token_limit(self):

@@ -147,6 +147,27 @@ class TestServer:
         status, _ = _post("/nope", "{}")
         assert status == 404
 
+    def test_stats_endpoint(self, server):
+        # at least one request has been served by the earlier tests
+        _post("/synthesize", json.dumps({"text": "stats probe"}))
+        conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=30)
+        conn.request("GET", "/stats")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = json.loads(resp.read())
+        conn.close()
+        assert body["requests"] >= 1
+        assert body["errors"] == 0
+        assert body["uptime_s"] > 0
+        assert 0 < body["latency_s_p50"] <= body["latency_s_p90"]
+
+    def test_sigterm_graceful_exit(self, server):
+        """SIGTERM drains and exits 0 — must run LAST (kills the server)."""
+        import signal
+        server.send_signal(signal.SIGTERM)
+        rc = server.wait(timeout=60)
+        assert rc == 0
+
 
 PROMPTED_CONFIG = dict(TINY_CONFIG, prompt_conditioning=True,
                        prompt_frames=8, prompt_encoder_layers=1,

@@ -126,10 +126,13 @@ def main():
 
         if bs == 8:
             # pipelined serving: dispatch batch i+1 BEFORE pulling i's
-            # audio (what cli/serve.py's two-stage batcher does)
+            # audio (what cli/serve.py's two-stage batcher does),
+            # including serve's device-side int16 quantization (half the
+            # pull bytes, bit-identical to the 16-bit WAV wire format)
             seeds = [jax.random.normal(jax.random.PRNGKey(i), x_T.shape)
                      for i in range(n_serving)]
-            run = lambda i: synth._synth_fn(
+            fn16 = jax.jit(synth._synthesize_device_pcm16)
+            run = lambda i: fn16(
                 synth.model_params, synth.codec_params, seeds[i], ids,
                 mask)[0]
             np.asarray(run(0))  # ensure compiled
@@ -145,12 +148,17 @@ def main():
 
         if bs == 1:
             # streaming first-audio latency: call -> first decoded chunk
-            # on the host (chunk 300 frames = 4 s of audio)
+            # on the host, at cli/serve.py's production point (its
+            # quantized default chunk — 339 frames = ~4.5 s for the
+            # 900-frame window — pulled as device-quantized int16 PCM)
+            qq = max(1, -(-mcfg.sample_size // 8))
+            chunk = min(max(qq * round(300 / qq), qq), mcfg.sample_size)
             fa_times = []
             for i in range(n_serving):
                 t0 = time.perf_counter()
                 next(synth.synthesize_stream(texts8[:1], seed=i,
-                                             chunk_frames=300))
+                                             chunk_frames=chunk,
+                                             pcm16=True))
                 fa_times.append(time.perf_counter() - t0)
             results["latency_s_first_audio_p50"] = round(
                 statistics.median(fa_times), 3)
@@ -210,9 +218,14 @@ def main():
 
         float(run(state0, batch))
         best = float("inf")
-        for _ in range(trials):
+        for trial in range(trials):
+            # perturb one input per trial: byte-identical re-executions
+            # can be served from the relay cache (CLAUDE.md), collapsing
+            # the min to the RPC floor
+            b = dict(batch)
+            b["codes"] = batch["codes"] * (1.0 + 1e-6 * (trial + 1))
             t0 = time.perf_counter()
-            float(run(state0, batch))
+            float(run(state0, b))
             best = min(best, time.perf_counter() - t0)
         return best
 
