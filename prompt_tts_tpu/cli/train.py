@@ -63,6 +63,11 @@ def parse_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() for multi-host "
                         "SPMD (TPU pods; env-configured).")
+    p.add_argument("--per_process_data", action="store_true",
+                   help="With --multihost: each host loads only its 1/P "
+                        "slice of every batch (per-host corpus I/O scales "
+                        "down; streaming datasets never read the other "
+                        "hosts' rows).")
     return p.parse_args(argv)
 
 
@@ -177,6 +182,7 @@ def main(argv=None):
         profile_steps=args.profile_steps,
         eval_every=args.eval_every,
         init_params=init_params,
+        per_process_data=args.per_process_data,
     )
     if args.resume:
         trainer.restore_latest()

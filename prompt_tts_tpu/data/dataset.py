@@ -28,6 +28,26 @@ from prompt_tts_tpu.frontend.tokenizer import Tokenizer
 _CODE_SCALE = 2.0 / 1023.0  # c/1023 then (x-0.5)/0.5
 
 
+def local_rows(idx: np.ndarray, process_shard) -> np.ndarray:
+    """This process's row slice of a global batch's index set.
+
+    ``process_shard``: ``None`` (whole batch) or ``(rank, count)`` — every
+    process computes the SAME global order (seeded shuffle), then keeps
+    rows ``[rank*b/count, (rank+1)*b/count)``.  Pairs with
+    ``parallel.mesh.shard_local_batch``: under ``--multihost
+    --per_process_data`` each host reads/collates only 1/count of every
+    batch (the scalable data path — for streaming datasets the skipped
+    rows are never read from disk at all)."""
+    if process_shard is None:
+        return idx
+    rank, count = process_shard
+    if len(idx) % count:
+        raise ValueError(
+            f"batch size {len(idx)} not divisible by process count {count}")
+    loc = len(idx) // count
+    return idx[rank * loc:(rank + 1) * loc]
+
+
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Run ``iterator`` in a background thread, ``depth`` items ahead.
 
@@ -106,8 +126,12 @@ class CodeDataset:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = True,
+        process_shard=None,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Fixed-shape numpy batches (static shapes for jit)."""
+        """Fixed-shape numpy batches (static shapes for jit).
+
+        ``process_shard=(rank, count)``: yield only this process's rows of
+        each global batch (see :func:`local_rows`)."""
         n = len(self)
         order = np.arange(n)
         if shuffle:
@@ -118,8 +142,13 @@ class CodeDataset:
             if drop_last and len(idx) < batch_size:
                 break
             # crop seed folds in the epoch seed + batch position, so prompt
-            # crops vary across epochs (not just across batch compositions)
-            yield self._collate(idx, crop_seed=(seed, start))
+            # crops vary across epochs (not just across batch compositions);
+            # sharded runs additionally fold the rank (each process draws
+            # its own deterministic crop stream for its rows)
+            crop_seed = ((seed, start) if process_shard is None
+                         else (seed, start, process_shard[0]))
+            yield self._collate(local_rows(idx, process_shard),
+                                crop_seed=crop_seed)
 
     def _collate(self, idx: np.ndarray,
                  crop_seed=(0, 0)) -> Dict[str, np.ndarray]:
@@ -183,13 +212,15 @@ class SyntheticDataset:
         return self.codes.shape[0]
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True,
+                process_shard=None) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self)
         order = np.arange(n)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for start in range(0, n - batch_size + 1, batch_size):
-            idx = order[start: start + batch_size]
+            idx = local_rows(order[start: start + batch_size],
+                             process_shard)
             codes = self.codes[idx].astype(np.float32) * _CODE_SCALE - 1.0
             latents = np.ascontiguousarray(codes.transpose(0, 2, 1))
             batch = {
@@ -199,7 +230,9 @@ class SyntheticDataset:
                 "code_len": self.code_len[idx],
             }
             if self.prompt_frames:
+                crop_seed = ((seed, start) if process_shard is None
+                             else (seed, start, process_shard[0]))
                 batch["prompt"] = _crop_prompts(
                     latents, self.code_len[idx], self.prompt_frames,
-                    seed=(seed, start))
+                    seed=crop_seed)
             yield batch

@@ -16,7 +16,7 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from prompt_tts_tpu.data import native
-from prompt_tts_tpu.data.dataset import _crop_prompts, prefetch
+from prompt_tts_tpu.data.dataset import _crop_prompts, local_rows, prefetch
 from prompt_tts_tpu.frontend.tokenizer import Tokenizer
 
 
@@ -61,14 +61,19 @@ class StreamingCodeDataset:
         return native.npy_to_i16(buf)
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True,
+                process_shard=None) -> Iterator[Dict[str, np.ndarray]]:
+        """``process_shard=(rank, count)``: yield only this process's rows
+        of each global batch — the rows other processes own are NEVER read
+        from disk (per-host corpus I/O scales as 1/count)."""
         def gen():
             n = len(self)
             order = np.arange(n)
             if shuffle:
                 np.random.default_rng(seed).shuffle(order)
             for start in range(0, n - batch_size + 1, batch_size):
-                idx = order[start: start + batch_size]
+                idx = local_rows(order[start: start + batch_size],
+                                 process_shard)
                 codes = np.stack([self._load_codes(i) for i in idx])
                 latents = native.collate_codes(codes)
                 batch = {
@@ -81,9 +86,11 @@ class StreamingCodeDataset:
                         [self._items[i][4] for i in idx], np.int32),
                 }
                 if self.prompt_frames:
+                    crop_seed = ((seed, start) if process_shard is None
+                                 else (seed, start, process_shard[0]))
                     batch["prompt"] = _crop_prompts(
                         latents, batch["code_len"], self.prompt_frames,
-                        seed=(seed, start))
+                        seed=crop_seed)
                 yield batch
 
         return prefetch(gen(), depth=self.prefetch_depth)

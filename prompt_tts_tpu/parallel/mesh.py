@@ -85,11 +85,51 @@ def batch_shardings(mesh: Mesh, batch) -> dict:
     return {k: batch_key_sharding(mesh, k) for k in batch}
 
 
+def _to_global(x, sh: NamedSharding):
+    """Host array -> sharded jax.Array, multi-process safe.
+
+    Single-controller: plain ``device_put``.  Under ``--multihost``
+    (``jax.process_count() > 1``) the mesh spans devices this process
+    cannot address, where ``device_put`` of a host array is invalid;
+    every process holds the SAME global host batch (the datasets'
+    seeded, deterministic iteration guarantees it — the same contract
+    as the reference's per-rank DataLoader with a seeded sampler), and
+    ``make_array_from_callback`` materializes only the shards local to
+    this process."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx: x[idx])
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with batch-dim (and, for codes
-    under a seq mesh, latent-time) sharding."""
+    under a seq mesh, latent-time) sharding; see ``_to_global`` for the
+    multi-process contract."""
     if isinstance(batch, dict):
-        return {k: jax.device_put(v, batch_key_sharding(mesh, k))
+        return {k: _to_global(v, batch_key_sharding(mesh, k))
                 for k, v in batch.items()}
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _to_global(x, sh), batch)
+
+
+def shard_local_batch(batch: dict, mesh: Mesh):
+    """Assemble global sharded arrays from PER-PROCESS batch slices.
+
+    Each process passes only ITS rows of the global batch (the
+    ``process_shard`` slice the datasets yield — rows
+    ``[rank*b/P, (rank+1)*b/P)``); ``make_array_from_process_local_data``
+    maps them onto the process's addressable shards.  This is the
+    scalable multihost data path: per-host batch I/O is 1/P of
+    ``shard_batch``'s replicated-global contract.
+
+    Requires the mesh's data-axis ownership to be process-contiguous in
+    rank order — true for the default ``make_mesh`` over the standard
+    process-major device enumeration with pure data parallelism across
+    hosts (model/seq axes inside a host); jax validates shard shapes and
+    errors otherwise.
+    """
+    return {k: jax.make_array_from_process_local_data(
+                batch_key_sharding(mesh, k), np.asarray(v))
+            for k, v in batch.items()}

@@ -19,6 +19,7 @@ from prompt_tts_tpu.models import TTSPromptSpeaker, TTSSingleSpeaker
 from prompt_tts_tpu.parallel import sp
 from prompt_tts_tpu.parallel.mesh import (
     MODEL_AXIS, batch_key_sharding, make_mesh, seq_size, shard_batch,
+    shard_local_batch,
 )
 from prompt_tts_tpu.parallel.tp import state_shardings
 from prompt_tts_tpu.train.checkpoint import CheckpointManager
@@ -29,7 +30,7 @@ from prompt_tts_tpu.train.step import (
     make_train_step,
 )
 from prompt_tts_tpu.utils.debug import finite_or_warn
-from prompt_tts_tpu.utils.metrics import MetricsWriter
+from prompt_tts_tpu.utils.metrics import MetricsWriter, NullMetricsWriter
 
 log = logging.getLogger(__name__)
 
@@ -52,6 +53,7 @@ class Trainer:
         eval_every: int = 0,
         eval_dataset=None,
         init_params=None,
+        per_process_data: bool = False,
     ):
         # profile_steps > 0: capture a jax.profiler trace of that many steps
         # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
@@ -70,11 +72,24 @@ class Trainer:
         # must match the model's own init tree exactly. Optimizer state
         # starts fresh, as the reference's train.py would after its own
         # (absent) restore.
+        # per_process_data (multihost only): each process loads/collates
+        # only its 1/P row slice of every global batch (datasets'
+        # ``process_shard``) and shard_local_batch assembles the global
+        # arrays — per-host corpus I/O scales as 1/P instead of every
+        # host replicating the full batch.
         self.profile_steps = profile_steps
         self.eval_every = eval_every
         self.eval_dataset = eval_dataset
         self.config = config
         self.dataset = dataset
+        self._pshard = None
+        if per_process_data and jax.process_count() > 1:
+            n_proc = jax.process_count()
+            if config.train.batch_size % n_proc:
+                raise ValueError(
+                    f"batch_size {config.train.batch_size} not divisible "
+                    f"by process count {n_proc} (per_process_data)")
+            self._pshard = (jax.process_index(), n_proc)
         self.mesh = (mesh if mesh is not None
                      else make_mesh(n_model=n_model, n_seq=n_seq))
         self._sp_mesh = self.mesh if seq_size(self.mesh) > 1 else None
@@ -82,7 +97,11 @@ class Trainer:
                      else TTSSingleSpeaker)
         self.model = model_cls(config.model, dtype=dtype)
         self.schedule = linear_schedule(config.train.num_train_timesteps)
-        self.metrics = MetricsWriter(log_dir)
+        # metrics are rank-gated: only process 0 writes event/JSONL files
+        # (checkpoint saves stay all-process — orbax coordinates the
+        # multihost write itself and REQUIRES every process to call save)
+        self.metrics = (MetricsWriter(log_dir) if jax.process_index() == 0
+                        else NullMetricsWriter(log_dir))
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
 
         tcfg = config.train
@@ -159,6 +178,13 @@ class Trainer:
         return jax.tree.map(lambda p, q: jnp.asarray(q, p.dtype),
                             params, init_params)
 
+    def _shard(self, batch):
+        """Host batch -> sharded device arrays (global batches via
+        shard_batch; per-process slices via shard_local_batch)."""
+        if self._pshard is not None:
+            return shard_local_batch(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
+
     def _sp_scope(self):
         """Arm ring-attention dispatch for this trainer's mesh only while
         its step traces (scoped — see parallel/sp.py; avoids leaking the
@@ -214,9 +240,10 @@ class Trainer:
             log.info("Starting epoch %d", epoch)
             t_epoch = time.time()
             for batch in self.dataset.batches(
-                    tcfg.batch_size, shuffle=True, seed=tcfg.seed + epoch):
+                    tcfg.batch_size, shuffle=True, seed=tcfg.seed + epoch,
+                    process_shard=self._pshard):
                 self.rng, step_rng = jax.random.split(self.rng)
-                sharded = shard_batch(batch, self.mesh)
+                sharded = self._shard(batch)
                 if (self.profile_steps
                         and self.global_step == 2):  # skip compile steps
                     import os
@@ -266,9 +293,10 @@ class Trainer:
             self._eval_fn = jax.jit(
                 make_eval_step(self.model.apply, self.schedule))
         total, n = 0.0, 0
-        for i, batch in enumerate(dataset.batches(tcfg.batch_size)):
+        for i, batch in enumerate(dataset.batches(
+                tcfg.batch_size, process_shard=self._pshard)):
             rng = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-            sharded = shard_batch(batch, self.mesh)
+            sharded = self._shard(batch)
             with self._sp_scope():
                 total += float(self._eval_fn(self.state.params, sharded,
                                              rng))

@@ -52,3 +52,22 @@ class MetricsWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullMetricsWriter:
+    """No-op writer with the same interface; non-zero ranks under
+    ``--multihost`` use it so only process 0 writes event/JSONL files
+    (the SPMD analog of the reference's ``is_main_process`` gating,
+    reference train.py:75,140)."""
+
+    def __init__(self, log_dir: str):
+        self._log_dir = log_dir
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
