@@ -325,6 +325,15 @@ def main(argv=None):
                     return
                 prompt = speakers[name]
             t0 = time.time()
+            # texts past the model's fixed window take the long-form path
+            # (split -> per-window synthesis -> trim -> join); a single
+            # window goes through the batcher / prefix-streaming as before
+            if len(synth.split_long_text(text)) > 1:
+                if stream:
+                    self._stream_long_response(text, seed, prompt, t0)
+                else:
+                    self._long_response(text, seed, prompt, t0)
+                return
             if stream:
                 self._stream_response(text, seed, prompt, chunk_frames, t0)
                 return
@@ -344,6 +353,76 @@ def main(argv=None):
             self.end_headers()
             self.wfile.write(data)
             record(t0)
+
+        def _long_response(self, text, seed, prompt, t0):
+            """Long-form (multi-window) synthesis in one response.
+
+            pad_groups=True keeps it on the batch-``max_batch`` pcm16
+            executable the warmup already compiled (a fresh smaller-batch
+            program would cost minutes through the TPU tunnel); like
+            streaming, long requests bypass the batcher — they own whole
+            device batches, so slotting them between other callers'
+            requests would only add head-of-line blocking."""
+            from prompt_tts_tpu.utils.wav import wav_header
+            kw = {}
+            if prompt is not None:
+                kw["prompt_codes"] = prompt[None]
+            with stream_slots:
+                try:
+                    wav = synth.synthesize_long(
+                        text, seed=seed, max_batch=args.max_batch,
+                        pcm16=True, pad_groups=True, **kw)
+                except Exception as e:  # noqa: BLE001
+                    record(t0, error=True)
+                    self.send_error(500, str(e))
+                    return
+            data = (wav_header(len(wav), SAMPLE_RATE)
+                    + wav.astype("<i2", copy=False).tobytes())
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            record(t0)
+
+        def _stream_long_response(self, text, seed, prompt, t0):
+            """Chunked-transfer long-form WAV: one trimmed piece per
+            12-s window, first audio after ONE window instead of the
+            whole passage.  The post-trim total length isn't known
+            upfront, so the header is the standard unknown-length
+            streaming header (sizes 0xFFFFFFFF — read until close)."""
+            from prompt_tts_tpu.utils.wav import wav_header
+            kw = {}
+            if prompt is not None:
+                kw["prompt_codes"] = prompt[None]
+            with stream_slots:
+                try:
+                    gen = synth.synthesize_long_stream(
+                        text, seed=seed, pcm16=True, **kw)
+                    first = next(gen)            # first window's audio
+                except Exception as e:  # noqa: BLE001
+                    record(t0, error=True, streamed=True)
+                    self.send_error(500, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+                    self.wfile.flush()
+
+                def pcm(piece):
+                    return piece.astype("<i2", copy=False).tobytes()
+
+                chunk(wav_header(None, SAMPLE_RATE) + pcm(first))
+                for piece in gen:
+                    chunk(pcm(piece))
+                self.wfile.write(b"0\r\n\r\n")
+                record(t0, streamed=True)
 
         def _stream_response(self, text, seed, prompt, chunk_frames=300,
                              t0=None):

@@ -306,6 +306,16 @@ class Synthesizer:
         return latents_to_codes(
             self._denoise_latents(model_params, x_T, ids, mask, prompt))
 
+    def _get_synth_fn(self, pcm16: bool):
+        """The jitted full-synthesis program (f32 wav, or device-quantized
+        int16 PCM — one cached executable each; synthesize /
+        synthesize_async / synthesize_long all share them)."""
+        if not pcm16:
+            return self._synth_fn
+        if not hasattr(self, "_synth_fn_pcm16"):
+            self._synth_fn_pcm16 = jax.jit(self._synthesize_device_pcm16)
+        return self._synth_fn_pcm16
+
     def synthesize(
         self,
         texts: Sequence[str],
@@ -313,17 +323,20 @@ class Synthesizer:
         return_codes: bool = False,
         prompt_wav: Optional[np.ndarray] = None,
         prompt_codes: Optional[np.ndarray] = None,
+        pcm16: bool = False,
     ):
-        """texts -> float32 wav ``[B, frames*320]`` at 24 kHz.
+        """texts -> float32 wav ``[B, frames*320]`` at 24 kHz
+        (int16 PCM with ``pcm16=True`` — quantized on device, half the
+        host transfer, bit-identical to ``utils.wav.pcm16_bytes``).
 
         For a prompt-conditioned model, pass either ``prompt_wav``
         ``[B, Tsamples]`` @ 24 kHz (encoded on the fly) or ``prompt_codes``
         ``[B, n_q, Tp]`` int.
         """
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
+        fn = self._get_synth_fn(pcm16)
         with self._sp_scope():
-            wav, codes = self._synth_fn(self.model_params,
-                                        self.codec_params, *args)
+            wav, codes = fn(self.model_params, self.codec_params, *args)
         wav = np.asarray(wav)
         if return_codes:
             return wav, np.asarray(codes)
@@ -345,9 +358,7 @@ class Synthesizer:
         serve path; lossless for 16-bit WAV responses).
         """
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
-        if pcm16 and not hasattr(self, "_synth_fn_pcm16"):
-            self._synth_fn_pcm16 = jax.jit(self._synthesize_device_pcm16)
-        fn = self._synth_fn_pcm16 if pcm16 else self._synth_fn
+        fn = self._get_synth_fn(pcm16)
         with self._sp_scope():
             wav, _codes = fn(self.model_params, self.codec_params, *args)
         return wav
@@ -486,6 +497,8 @@ class Synthesizer:
         trim_threshold_db: float = -40.0,
         prompt_wav: Optional[np.ndarray] = None,
         prompt_codes: Optional[np.ndarray] = None,
+        pcm16: bool = False,
+        pad_groups: bool = False,
     ) -> np.ndarray:
         """Long-form synthesis: split -> batch-synthesize -> trim -> join.
 
@@ -493,6 +506,14 @@ class Synthesizer:
         trailing silence past the spoken content is trimmed per chunk
         (``trim_threshold_db``; pass ``None`` to keep full windows) and
         the chunks are concatenated into one waveform.
+
+        ``pcm16=True`` returns device-quantized int16 PCM (the trim RMS is
+        scale-invariant, so trimming behaves the same).  ``pad_groups=True``
+        pads EVERY partial group to ``max_batch`` — a server whose
+        batch-``max_batch`` program is already compiled passes this so a
+        short long-form request reuses that executable instead of
+        compiling a fresh smaller-batch program (minutes through the TPU
+        tunnel).
         """
         from prompt_tts_tpu.utils.wav import trim_trailing_silence
         chunks = self.split_long_text(text)
@@ -504,7 +525,8 @@ class Synthesizer:
             # full groups already compiled instead of compiling a second
             # device program — minutes-scale through the TPU tunnel
             n_real = len(group)
-            if len(chunks) > max_batch and n_real < max_batch:
+            if ((pad_groups or len(chunks) > max_batch)
+                    and n_real < max_batch):
                 group = group + [""] * (max_batch - n_real)
             kw = {}
             if self._prompted:
@@ -512,14 +534,54 @@ class Synthesizer:
                                  np.repeat(np.asarray(a)[:1], len(group), 0))
                 kw = dict(prompt_wav=rep(prompt_wav),
                           prompt_codes=rep(prompt_codes))
-            wavs = self.synthesize(group, seed=seed + i, **kw)[:n_real]
+            wavs = self.synthesize(group, seed=seed + i, pcm16=pcm16,
+                                   **kw)[:n_real]
             for wav in wavs:
                 if trim_threshold_db is not None:
                     wav = trim_trailing_silence(
                         wav, threshold_db=trim_threshold_db)
                 pieces.append(wav)
         return np.concatenate(pieces) if pieces else np.zeros(
-            0, dtype=np.float32)
+            0, dtype=np.int16 if pcm16 else np.float32)
+
+    def synthesize_long_stream(
+        self,
+        text: str,
+        seed: int = 0,
+        trim_threshold_db: float = -40.0,
+        prompt_wav: Optional[np.ndarray] = None,
+        prompt_codes: Optional[np.ndarray] = None,
+        pcm16: bool = False,
+    ):
+        """Yield one trimmed wav piece per 12-s window of a long text.
+
+        The streaming long-form path: each text chunk is synthesized
+        batch-1 and yielded as soon as its window decodes, so the first
+        audio leaves after ONE window instead of the whole passage.
+        Trimming needs the full window (trailing silence is only known
+        once the window ends), so the granularity is per-window, not
+        per-prefix — a server streams these with an unknown-length WAV
+        header (``utils.wav.wav_header(None, ...)``) since the post-trim
+        total is not known upfront.
+
+        Batch-1 window synthesis reuses the programs a streaming server
+        already compiled (``synthesize_stream``'s codes + full-window
+        decode executables).  Seeds fold the window index, so different
+        windows draw different noise.
+        """
+        from prompt_tts_tpu.utils.wav import trim_trailing_silence
+        T = self.config.model.sample_size
+        kw = {}
+        if self._prompted:
+            kw = dict(prompt_wav=prompt_wav, prompt_codes=prompt_codes)
+        for i, chunk in enumerate(self.split_long_text(text)):
+            pieces = list(self.synthesize_stream(
+                [chunk], seed=seed + i, chunk_frames=T, pcm16=pcm16, **kw))
+            wav = np.concatenate(pieces, axis=1)[0]
+            if trim_threshold_db is not None:
+                wav = trim_trailing_silence(
+                    wav, threshold_db=trim_threshold_db)
+            yield wav
 
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
         """int codes [B, n_q, T] -> wav (the decode_codec tool path)."""

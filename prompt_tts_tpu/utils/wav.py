@@ -25,12 +25,21 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
-def wav_header(n_samples: int, sample_rate: int, channels: int = 1) -> bytes:
+def wav_header(n_samples, sample_rate: int, channels: int = 1) -> bytes:
     """PCM16 WAV header for a known total length (streaming writers emit
-    this first, then raw PCM16 frames)."""
-    data_bytes = n_samples * channels * 2
+    this first, then raw PCM16 frames).
+
+    ``n_samples=None`` emits the standard unknown-length streaming header
+    (RIFF and data sizes 0xFFFFFFFF): players treat it as
+    read-until-connection-close, which is how a server streams audio
+    whose final length (e.g. post-trim long-form) isn't known upfront."""
+    if n_samples is None:
+        data_bytes = 0xFFFFFFFF             # conventional "unknown" marker
+    else:
+        data_bytes = n_samples * channels * 2
     return b"".join([
-        b"RIFF", struct.pack("<I", 36 + data_bytes), b"WAVE",
+        b"RIFF", struct.pack("<I", min(36 + data_bytes, 0xFFFFFFFF)),
+        b"WAVE",
         b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
                              sample_rate * channels * 2, channels * 2, 16),
         b"data", struct.pack("<I", data_bytes),
@@ -105,7 +114,8 @@ def trim_trailing_silence(wav: np.ndarray, frame: int = 1024,
     n = (len(wav) // frame) * frame
     if n == 0:
         return wav
-    frames = np.asarray(wav[:n]).reshape(-1, frame)
+    # float32 for the RMS math: squaring int16 PCM in its own dtype wraps
+    frames = np.asarray(wav[:n], dtype=np.float32).reshape(-1, frame)
     rms = np.sqrt((frames ** 2).mean(axis=1) + 1e-12)
     floor = rms.max() * (10.0 ** (threshold_db / 20.0))
     active = np.nonzero(rms > floor)[0]

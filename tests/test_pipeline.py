@@ -173,5 +173,32 @@ class TestLongFormSynthesis:
         n_chunks = len(synth.split_long_text(text))
         assert wav.ndim == 1
         # untrimmed: exactly n_chunks full windows
-        assert len(wav) == n_chunks * cfg.model.sample_size * 320
+        window = cfg.model.sample_size * 320
+        assert len(wav) == n_chunks * window
         assert np.isfinite(wav).all()
+
+        # pcm16 long path: bit-identical to host-quantizing the f32 path
+        from prompt_tts_tpu.utils.wav import pcm16_bytes
+        pcm = synth.synthesize_long(text, max_batch=2,
+                                    trim_threshold_db=None, pcm16=True)
+        assert pcm.dtype == np.int16
+        assert pcm.astype("<i2", copy=False).tobytes() == pcm16_bytes(wav)
+
+        # pad_groups: a single partial group padded up to max_batch (the
+        # serve path reusing its warmed batch program) still returns
+        # exactly the real windows
+        wav_pad = synth.synthesize_long(text, max_batch=4,
+                                        trim_threshold_db=None,
+                                        pad_groups=True)
+        assert len(wav_pad) == n_chunks * window
+
+        # streaming long-form: one piece per window; untrimmed pieces are
+        # full windows, trimmed pieces never exceed one
+        pieces = list(synth.synthesize_long_stream(
+            text, trim_threshold_db=None, pcm16=True))
+        assert len(pieces) == n_chunks
+        assert all(p.dtype == np.int16 and p.shape == (window,)
+                   for p in pieces)
+        trimmed = list(synth.synthesize_long_stream(text))
+        assert len(trimmed) == n_chunks
+        assert all(p.ndim == 1 and len(p) <= window for p in trimmed)

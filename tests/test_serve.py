@@ -147,6 +147,35 @@ class TestServer:
         status, _ = _post("/nope", "{}")
         assert status == 404
 
+    LONG_TEXT = ("The first sentence. A second one follows! "
+                 "Then a third; and a fourth? Finally the fifth.")
+
+    def test_long_text_request(self, server):
+        """Texts past the model window route through synthesize_long
+        (multiple trimmed windows in one exact-length response)."""
+        import struct
+        status, data = _post(
+            "/synthesize", json.dumps({"text": self.LONG_TEXT}))
+        assert status == 200
+        assert data[:4] == b"RIFF"
+        window_bytes = TINY_CONFIG["sample_size"] * 320 * 2
+        assert len(data) - 44 > window_bytes      # more than one window
+        # exact-length response: the data-chunk size matches the payload
+        assert struct.unpack("<I", data[40:44])[0] == len(data) - 44
+
+    def test_long_text_streaming(self, server):
+        """Streamed long-form: unknown-length WAV header, > one window."""
+        import struct
+        status, data = _post(
+            "/synthesize",
+            json.dumps({"text": self.LONG_TEXT, "stream": True}))
+        assert status == 200
+        assert data[:4] == b"RIFF"
+        # the post-trim total isn't known upfront -> 0xFFFFFFFF marker
+        assert struct.unpack("<I", data[40:44])[0] == 0xFFFFFFFF
+        window_bytes = TINY_CONFIG["sample_size"] * 320 * 2
+        assert len(data) - 44 > window_bytes
+
     def test_stats_endpoint(self, server):
         # at least one request has been served by the earlier tests
         _post("/synthesize", json.dumps({"text": "stats probe"}))
