@@ -142,9 +142,21 @@ def _chain_time_s(fn, params, args, iters):
     float(jfn(params, *args))  # compile + warmup
     best = float("inf")
     for trial in range(3):
-        pert = [a * (1.0 + 1e-6 * (trial + 1))
-                if hasattr(a.dtype, "kind") and a.dtype.kind == "f"
-                else a for a in args]
+        # perturb the FIRST array arg per trial — floats scale by 1+eps,
+        # ints roll their largest axis — so all-int stages (decode's
+        # codes, cond's ids/mask) never re-execute byte-identical
+        # programs either (same rule as tools/bench_suite.py)
+        pert = list(args)
+        for j, a in enumerate(pert):
+            if not hasattr(a, "dtype") or getattr(a, "ndim", 0) == 0:
+                continue
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                pert[j] = a * (1.0 + 1e-6 * (trial + 1))
+            else:
+                import numpy as _np
+                pert[j] = jnp.roll(a, trial + 1,
+                                   axis=int(_np.argmax(a.shape)))
+            break
         t0 = time.perf_counter()
         float(jfn(params, *pert))
         best = min(best, time.perf_counter() - t0)

@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="Directory of reference *.wav files for a "
                         "prompt-conditioned model; each is registered as "
                         "a speaker under its filename stem.")
+    p.add_argument("--drain_s", type=float, default=600.0,
+                   help="SIGTERM drain budget: wait up to this long for "
+                        "in-flight requests (incl. streaming/long-form) "
+                        "to complete before exiting.")
     p.add_argument("--ema", action="store_true",
                    help="Serve the checkpoint's EMA params (requires "
                         "training with --ema_decay).")
@@ -243,17 +247,18 @@ def main(argv=None):
         raise SystemExit(
             "--speakers needs a prompt-conditioned model config")
 
-    # quantize client chunk_frames onto a BOUNDED shape set: every distinct
-    # prefix length compiles a fresh device program (minutes through the
-    # TPU tunnel).  The same function maps the warmup and the handler so
-    # the default-chunk programs are compiled BEFORE "ready".
+    # Client chunk_frames snap onto MULTIPLES of the warmed default chunk:
+    # every distinct prefix length is a separate compiled device program
+    # (minutes through the TPU tunnel), and a chunk of k*c0 only decodes
+    # prefixes {k*c0, 2k*c0, ...} ∪ {T} — a subset of the default chunk's
+    # warmed set {c0, 2c0, ...} ∪ {T} — so NO client value can trigger a
+    # request-path compile (the serving-design contract, ARCHITECTURE.md).
     T_frames = synth.config.model.sample_size
-    _q = max(1, -(-T_frames // 8))           # ceil(T/8)
+    default_chunk = min(max(1, -(-T_frames // 3)), T_frames)  # ceil(T/3)
 
     def quantize_chunk(frames: int) -> int:
-        return min(max(_q * round(frames / _q), _q), T_frames)
-
-    default_chunk = quantize_chunk(300)
+        k = max(1, round(frames / default_chunk))
+        return min(k * default_chunk, T_frames)
 
     logging.info("warming up (compiling the device programs)...")
     if synth._prompted:
@@ -284,6 +289,11 @@ def main(argv=None):
     stats = {"requests": 0, "errors": 0, "streamed": 0,
              "started": time.time()}
     lat_window: list = []               # last <=256 request latencies (s)
+    inflight = [0]                      # POSTs being handled RIGHT NOW —
+    # the SIGTERM drain waits on this, not just the batcher queues:
+    # streaming/long-form requests bypass the batcher entirely, and the
+    # collector pops the final batch from `pending` before its host pull
+    # completes, so queue sizes alone under-count in-flight work
 
     def record(t0: float, error: bool = False, streamed: bool = False):
         dt = time.time() - t0
@@ -300,6 +310,17 @@ def main(argv=None):
         # path); non-streamed responses all carry Content-Length
         protocol_version = "HTTP/1.1"
         def do_POST(self):
+            # count the WHOLE handling (response write included) so the
+            # SIGTERM drain never kills a daemon handler thread mid-reply
+            with stats_lock:
+                inflight[0] += 1
+            try:
+                self._do_post()
+            finally:
+                with stats_lock:
+                    inflight[0] -= 1
+
+        def _do_post(self):
             if self.path != "/synthesize":
                 self.send_error(404)
                 return
@@ -342,6 +363,13 @@ def main(argv=None):
             if "error" in slot:
                 record(t0, error=True)
                 self.send_error(500, slot["error"])
+                return
+            if "wav" not in slot:
+                # wait() timed out with the slot unfulfilled (sustained
+                # overload or a wedged chip): answer 503 instead of
+                # raising KeyError into the handler thread
+                record(t0, error=True)
+                self.send_error(503, "synthesis timed out")
                 return
             from prompt_tts_tpu.utils.wav import wav_header
             # slot["wav"] is already little-endian int16 (device-quantized)
@@ -483,6 +511,7 @@ def main(argv=None):
                         "uptime_s": round(time.time() - stats["started"], 1),
                         "queue_depth": batcher.q.qsize(),
                         "batches_in_flight": batcher.pending.qsize(),
+                        "requests_in_flight": inflight[0],
                     }
                     if lat:
                         # same nearest-rank formula for both quantiles so
@@ -522,11 +551,19 @@ def main(argv=None):
     try:
         server.serve_forever()
     finally:
-        deadline = time.monotonic() + 30
-        while (time.monotonic() < deadline
-               and (batcher.q.qsize() or batcher.pending.qsize())):
+        # drain EVERYTHING in flight: queued batches, the collector's
+        # current host pull, and handler threads (streaming/long-form
+        # requests never touch the batcher queues) — handler threads are
+        # daemons, so returning from main would kill them mid-response
+        deadline = time.monotonic() + args.drain_s
+
+        def busy():
+            with stats_lock:
+                n = inflight[0]
+            return n or batcher.q.qsize() or batcher.pending.qsize()
+
+        while time.monotonic() < deadline and busy():
             time.sleep(0.05)
-        time.sleep(0.2)     # grace for fulfilled handlers to write out
         server.server_close()
         logging.info("drained; exiting")
 

@@ -56,21 +56,38 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
+                if stop.is_set():
+                    break
                 q.put(item)
         finally:
-            q.put(sentinel)
+            try:
+                q.put_nowait(sentinel)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        # a consumer that abandons the generator (e.g. a one-batch
+        # structure peek) must not leak the worker: signal stop, then
+        # drain so a worker blocked in q.put() wakes, sees stop, exits
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class CodeDataset:

@@ -183,6 +183,12 @@ class Synthesizer:
         self.codec_params = self._codec_runner.codec_params
 
         self._synth_fn = jax.jit(self._synthesize_device)
+        # guards the lazily-built jitted programs (_synth_fn_pcm16,
+        # _codes_fn, ...): concurrent server threads must never observe a
+        # partially-initialized set or trace the same program twice
+        # (duplicate compiles are minutes-scale through the TPU tunnel)
+        import threading
+        self._jit_lock = threading.Lock()
 
     def _sp_scope(self):
         """Context that arms ring-attention dispatch for THIS synthesizer's
@@ -313,7 +319,10 @@ class Synthesizer:
         if not pcm16:
             return self._synth_fn
         if not hasattr(self, "_synth_fn_pcm16"):
-            self._synth_fn_pcm16 = jax.jit(self._synthesize_device_pcm16)
+            with self._jit_lock:
+                if not hasattr(self, "_synth_fn_pcm16"):
+                    self._synth_fn_pcm16 = jax.jit(
+                        self._synthesize_device_pcm16)
         return self._synth_fn_pcm16
 
     def synthesize(
@@ -421,14 +430,20 @@ class Synthesizer:
         — decode is ~5% of synthesis, so this trades a few percent of
         total work for a ~(n-1)/n cut in time-to-first-audio.
         """
-        if not hasattr(self, "_codes_fn"):
-            self._codes_fn = jax.jit(self._codes_device)
-            self._decode_fn = jax.jit(
-                lambda p, c: codec_decode(
-                    self._codec_fast, p, c).astype(jnp.float32))
-            self._decode_fn_pcm16 = jax.jit(
-                lambda p, c: wav_to_pcm16(codec_decode(
-                    self._codec_fast, p, c).astype(jnp.float32)))
+        if not hasattr(self, "_decode_fn_pcm16"):
+            # under the lock, and the hasattr-checked attribute is
+            # assigned LAST, so a concurrent thread either waits here or
+            # sees all three programs (a half-initialized set would raise
+            # AttributeError on its request thread)
+            with self._jit_lock:
+                if not hasattr(self, "_decode_fn_pcm16"):
+                    self._codes_fn = jax.jit(self._codes_device)
+                    self._decode_fn = jax.jit(
+                        lambda p, c: codec_decode(
+                            self._codec_fast, p, c).astype(jnp.float32))
+                    self._decode_fn_pcm16 = jax.jit(
+                        lambda p, c: wav_to_pcm16(codec_decode(
+                            self._codec_fast, p, c).astype(jnp.float32)))
         decode = self._decode_fn_pcm16 if pcm16 else self._decode_fn
         args = self._device_args(texts, seed, prompt_wav, prompt_codes)
         with self._sp_scope():

@@ -139,14 +139,21 @@ class Trainer:
             # like code_len): jit in_shardings dicts must match the batch
             # pytree structure exactly.  An empty dataset falls back to
             # plain data-sharding (training is a no-op there anyway).
+            peek = self.dataset.batches(tcfg.batch_size)
             try:
-                example = next(self.dataset.batches(tcfg.batch_size))
+                example = next(peek)
                 batch_sh = {k: batch_key_sharding(self.mesh, k)
                             for k in example}
             except StopIteration:
                 log.warning("dataset yields no batch at batch_size=%d: "
                             "seq-sharding disabled", tcfg.batch_size)
                 self._sp_mesh = None
+            finally:
+                # streaming datasets wrap batches() in prefetch(): close
+                # the abandoned generator so its worker thread exits
+                # instead of idling with prefetch_depth batches pinned
+                if hasattr(peek, "close"):
+                    peek.close()
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob,

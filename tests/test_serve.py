@@ -125,7 +125,8 @@ class TestServer:
             conn.close()
             return first + rest, t_first, t_full
 
-        # 40-frame window: chunk 8 -> 5 chunks; chunk 40 -> one chunk
+        # 40-frame window, default chunk ceil(40/3)=14: chunk 8 snaps to
+        # 14 (3 chunks {14,28,40}, all warmed); chunk 40 -> one chunk
         data, t_first, t_full = stream(8)
         ref, _, _ = stream(40)
         assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"

@@ -130,12 +130,16 @@ def main():
             # including serve's device-side int16 quantization (half the
             # pull bytes, bit-identical to the 16-bit WAV wire format)
             seeds = [jax.random.normal(jax.random.PRNGKey(i), x_T.shape)
-                     for i in range(n_serving)]
-            fn16 = jax.jit(synth._synthesize_device_pcm16)
+                     for i in range(n_serving + 1)]
+            # the pipeline's own cached pcm16 executable (what serve runs)
+            fn16 = synth._get_synth_fn(pcm16=True)
             run = lambda i: fn16(
                 synth.model_params, synth.codec_params, seeds[i], ids,
                 mask)[0]
-            np.asarray(run(0))  # ensure compiled
+            # warm on an input the timed loop never reuses: identical
+            # re-executions can be relay-cached (CLAUDE.md), which would
+            # make timed batch 0 free
+            np.asarray(run(n_serving))  # ensure compiled
             t0 = time.perf_counter()
             dev = run(0)
             for i in range(n_serving):
@@ -149,10 +153,10 @@ def main():
         if bs == 1:
             # streaming first-audio latency: call -> first decoded chunk
             # on the host, at cli/serve.py's production point (its
-            # quantized default chunk — 339 frames = ~4.5 s for the
+            # default chunk = ceil(T/3) — 300 frames = 4 s for the
             # 900-frame window — pulled as device-quantized int16 PCM)
-            qq = max(1, -(-mcfg.sample_size // 8))
-            chunk = min(max(qq * round(300 / qq), qq), mcfg.sample_size)
+            chunk = min(max(1, -(-mcfg.sample_size // 3)),
+                        mcfg.sample_size)
             fa_times = []
             for i in range(n_serving):
                 t0 = time.perf_counter()
