@@ -71,7 +71,8 @@ def main(argv=None):
         num_inference_steps=args.steps, sampler=args.sampler,
         guidance_scale=args.guidance_scale)
 
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 if args.platforms else None)
     header = aot.export_synthesis(
         synth, args.batch, args.out, pcm16=not args.float32,
         platforms=platforms)

@@ -73,11 +73,58 @@ class TestExportRoundTrip:
         with pytest.raises(ValueError, match="prompt_latents"):
             prog.synthesize(["speak"])
 
+        # a SHORTER prompt is padded/cropped exactly like the live
+        # Synthesizer._device_args, so the deployment API matches the
+        # live API for arbitrary-length prompts
+        short_codes = np.full((1, 8, 10), 512, np.int32)
+        short_lat = np.asarray(codes_to_latents(jnp.asarray(short_codes)))
+        got_s = prog.synthesize(["speak"], seed=1, prompt_latents=short_lat)
+        want_s = synth.synthesize(["speak"], seed=1, pcm16=True,
+                                  prompt_codes=short_codes)
+        np.testing.assert_array_equal(got_s, np.asarray(want_s))
+
     def test_bad_magic_rejected(self, tmp_path):
         path = tmp_path / "junk.ptts"
         path.write_bytes(b"NOTANART" + b"\x00" * 16)
         with pytest.raises(ValueError, match="not a ptts AOT artifact"):
             aot.load_synthesis(str(path))
+
+    def test_wrong_version_rejected(self, tmp_path):
+        import json
+        import struct
+        path = tmp_path / "old.ptts"
+        hdr = json.dumps({"version": 1}).encode()
+        path.write_bytes(b"PTTSAOT1" + struct.pack("<I", len(hdr)) + hdr)
+        with pytest.raises(ValueError, match="version 1"):
+            aot.load_synthesis(str(path))
+
+    def test_wrong_platform_rejected(self, tmp_path):
+        # header claims a platform set disjoint from the current backend
+        import json
+        import struct
+        path = tmp_path / "wrongplat.ptts"
+        hdr = json.dumps({
+            "version": 2, "platforms": ["nonexistent_hw"],
+            "model_params_nbytes": 0, "codec_params_nbytes": 0,
+        }).encode()
+        path.write_bytes(b"PTTSAOT1" + struct.pack("<I", len(hdr)) + hdr)
+        with pytest.raises(ValueError, match="current backend"):
+            aot.load_synthesis(str(path))
+
+    def test_sharded_synth_refused(self, tmp_path):
+        # an SP/TP-armed synthesizer traces collectives over a mesh the
+        # loading box cannot reconstruct — export must refuse clearly
+        import jax
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs >=2 devices")
+        mesh = make_mesh(n_seq=2)
+        cfg = Config(model=ModelConfig(**TINY), train=TrainConfig())
+        synth = Synthesizer(config=cfg, num_inference_steps=2,
+                            dtype=jnp.float32, mesh=mesh)
+        with pytest.raises(ValueError, match="mesh-sharded"):
+            aot.export_synthesis(synth, 2, str(tmp_path / "sp.ptts"))
 
 
 @pytest.mark.slow
