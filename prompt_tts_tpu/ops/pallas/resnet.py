@@ -1,4 +1,10 @@
-"""Fused UNet resnet block kernel (Pallas, inference path).
+"""ARCHIVED EXPERIMENT — fused UNet resnet block kernel (Pallas).
+
+NOT a production capability: no production path dispatches this kernel
+(the measured result below is a negative one and the XLA formulation is
+the shipped path).  It is kept, with its tests, as the documented
+evidence behind ARCHITECTURE.md's kernel scoreboard entry; treat it as a
+measurement artifact, not framework surface.
 
 One grid cell per batch element runs the WHOLE ResnetBlock1D —
 GN1 -> SiLU -> conv(k3) -> +temb -> GN2 -> SiLU -> conv(k3) -> +shortcut

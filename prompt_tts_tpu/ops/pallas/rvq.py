@@ -1,4 +1,10 @@
-"""Fused residual-VQ encode kernel for TPU (Pallas) — EXPERIMENTAL.
+"""ARCHIVED EXPERIMENT — fused residual-VQ encode kernel (Pallas).
+
+NOT a production capability: nothing in the package dispatches this
+kernel (RVQ parity requires bit-exact indices and this kernel is not
+bit-exact — see STATUS below).  It is kept, with its tests, as the
+documented evidence behind ARCHITECTURE.md's kernel scoreboard entry;
+treat it as a measurement artifact, not framework surface.
 
 One kernel instance quantizes a block of vectors through ALL RVQ layers:
 the full codebook stack (n_q x 1024 x 128 f32 = 4 MB at 6 kbps) stays
