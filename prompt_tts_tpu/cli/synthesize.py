@@ -59,6 +59,15 @@ def parse_args(argv=None):
                    help="Long-form mode: split the (single) --text into "
                         "sentence-packed chunks, synthesize in batches, "
                         "trim each chunk, concatenate into one wav.")
+    p.add_argument("--crossfade_ms", type=float, default=0.0,
+                   help="Long-form seam treatment: equal-power crossfade "
+                        "of this many milliseconds at every window join "
+                        "(0 = hard concatenation).")
+    p.add_argument("--continuity_prompt", action="store_true",
+                   help="Long-form, prompt-conditioned family only: "
+                        "condition each window on the PREVIOUS window's "
+                        "generated tail codes (sequential windows, "
+                        "cross-window speaker/style continuity).")
     return p.parse_args(argv)
 
 
@@ -137,7 +146,9 @@ def main(argv=None):
         if len(args.text) != 1:
             raise SystemExit("--long takes exactly one --text")
         wav = synth.synthesize_long(args.text[0], seed=args.seed,
-                                    prompt_wav=prompt_wav)
+                                    prompt_wav=prompt_wav,
+                                    crossfade_ms=args.crossfade_ms,
+                                    continuity_prompt=args.continuity_prompt)
         write_wav(args.out, wav, SAMPLE_RATE)
         logging.info("wrote %s (%.2f s, %d chunks)", args.out,
                      len(wav) / SAMPLE_RATE,

@@ -504,6 +504,14 @@ class Synthesizer:
             chunks.append(cur)
         return chunks or [""]
 
+    def _continuity_tail(self, codes: np.ndarray, wav_len: int):
+        """Last ``prompt_frames`` SPOKEN code frames of a generated window
+        — the natural continuity prompt for the next window (codes
+        ``[n_q, T]``, ``wav_len`` = post-trim sample count)."""
+        Tp = self.config.model.prompt_frames
+        end = max(1, min(codes.shape[-1], -(-wav_len // 320)))
+        return codes[None, :, max(0, end - Tp): end]
+
     def synthesize_long(
         self,
         text: str,
@@ -514,50 +522,100 @@ class Synthesizer:
         prompt_codes: Optional[np.ndarray] = None,
         pcm16: bool = False,
         pad_groups: bool = False,
+        crossfade_ms: float = 0.0,
+        continuity_prompt: bool = False,
     ) -> np.ndarray:
         """Long-form synthesis: split -> batch-synthesize -> trim -> join.
 
         Each chunk is synthesized in the model's fixed 12 s window;
         trailing silence past the spoken content is trimmed per chunk
         (``trim_threshold_db``; pass ``None`` to keep full windows) and
-        the chunks are concatenated into one waveform.
+        the chunks are joined into one waveform.
+
+        Seam quality (windows draw INDEPENDENT noise, so a hard
+        concatenation steps discontinuously at every join):
+
+        * ``crossfade_ms > 0`` overlap-adds adjacent windows with an
+          equal-power crossfade (``utils.wav.crossfade_join``), removing
+          the sample-level step at each seam.
+        * ``continuity_prompt=True`` (prompt-conditioned family only)
+          carries each window's trailing ``prompt_frames`` GENERATED code
+          frames as the next window's prompt, so window k+1 is conditioned
+          on how window k actually sounded — windows become sequential
+          (batch-1; ``pad_groups`` still reuses the warmed batch
+          executable) in exchange for cross-window speaker/style
+          continuity.  The user prompt conditions the first window.
 
         ``pcm16=True`` returns device-quantized int16 PCM (the trim RMS is
-        scale-invariant, so trimming behaves the same).  ``pad_groups=True``
+        scale-invariant, so trimming behaves the same; the crossfade blends
+        in float32 and re-quantizes).  ``pad_groups=True``
         pads EVERY partial group to ``max_batch`` — a server whose
         batch-``max_batch`` program is already compiled passes this so a
         short long-form request reuses that executable instead of
         compiling a fresh smaller-batch program (minutes through the TPU
         tunnel).
         """
-        from prompt_tts_tpu.utils.wav import trim_trailing_silence
+        from prompt_tts_tpu.utils.wav import (crossfade_join,
+                                              trim_trailing_silence)
+        if continuity_prompt and not self._prompted:
+            raise ValueError("continuity_prompt needs the prompt-"
+                             "conditioned model family")
         chunks = self.split_long_text(text)
         pieces = []
-        for i in range(0, len(chunks), max_batch):
-            group = chunks[i:i + max_batch]
-            # pad a trailing partial group up to max_batch (empty texts,
-            # results sliced off) so it reuses the batch-size program the
-            # full groups already compiled instead of compiling a second
-            # device program — minutes-scale through the TPU tunnel
-            n_real = len(group)
-            if ((pad_groups or len(chunks) > max_batch)
-                    and n_real < max_batch):
-                group = group + [""] * (max_batch - n_real)
-            kw = {}
-            if self._prompted:
-                rep = lambda a: (None if a is None else
-                                 np.repeat(np.asarray(a)[:1], len(group), 0))
-                kw = dict(prompt_wav=rep(prompt_wav),
-                          prompt_codes=rep(prompt_codes))
-            wavs = self.synthesize(group, seed=seed + i, pcm16=pcm16,
-                                   **kw)[:n_real]
-            for wav in wavs:
+        if continuity_prompt:
+            # sequential: window k+1's prompt is window k's generated tail
+            prev_tail = None
+            for i, chunk in enumerate(chunks):
+                group = [chunk]
+                if pad_groups:
+                    group = group + [""] * (max_batch - 1)
+                if prev_tail is None:
+                    rep = lambda a: (None if a is None else np.repeat(
+                        np.asarray(a)[:1], len(group), 0))
+                    kw = dict(prompt_wav=rep(prompt_wav),
+                              prompt_codes=rep(prompt_codes))
+                else:
+                    kw = dict(prompt_codes=np.repeat(prev_tail,
+                                                     len(group), 0))
+                wavs, codes = self.synthesize(group, seed=seed + i,
+                                              pcm16=pcm16,
+                                              return_codes=True, **kw)
+                wav = wavs[0]
                 if trim_threshold_db is not None:
                     wav = trim_trailing_silence(
                         wav, threshold_db=trim_threshold_db)
+                prev_tail = self._continuity_tail(codes[0], len(wav))
                 pieces.append(wav)
-        return np.concatenate(pieces) if pieces else np.zeros(
-            0, dtype=np.int16 if pcm16 else np.float32)
+        else:
+            for i in range(0, len(chunks), max_batch):
+                group = chunks[i:i + max_batch]
+                # pad a trailing partial group up to max_batch (empty
+                # texts, results sliced off) so it reuses the batch-size
+                # program the full groups already compiled instead of
+                # compiling a second device program — minutes-scale
+                # through the TPU tunnel
+                n_real = len(group)
+                if ((pad_groups or len(chunks) > max_batch)
+                        and n_real < max_batch):
+                    group = group + [""] * (max_batch - n_real)
+                kw = {}
+                if self._prompted:
+                    rep = lambda a: (None if a is None else np.repeat(
+                        np.asarray(a)[:1], len(group), 0))
+                    kw = dict(prompt_wav=rep(prompt_wav),
+                              prompt_codes=rep(prompt_codes))
+                wavs = self.synthesize(group, seed=seed + i, pcm16=pcm16,
+                                       **kw)[:n_real]
+                for wav in wavs:
+                    if trim_threshold_db is not None:
+                        wav = trim_trailing_silence(
+                            wav, threshold_db=trim_threshold_db)
+                    pieces.append(wav)
+        if not pieces:
+            return np.zeros(0, dtype=np.int16 if pcm16 else np.float32)
+        if crossfade_ms > 0.0:
+            return crossfade_join(pieces, int(crossfade_ms * 24))
+        return np.concatenate(pieces)
 
     def synthesize_long_stream(
         self,
@@ -567,6 +625,8 @@ class Synthesizer:
         prompt_wav: Optional[np.ndarray] = None,
         prompt_codes: Optional[np.ndarray] = None,
         pcm16: bool = False,
+        crossfade_ms: float = 0.0,
+        continuity_prompt: bool = False,
     ):
         """Yield one trimmed wav piece per 12-s window of a long text.
 
@@ -579,24 +639,59 @@ class Synthesizer:
         header (``utils.wav.wav_header(None, ...)``) since the post-trim
         total is not known upfront.
 
+        Seam options match :meth:`synthesize_long`: ``crossfade_ms > 0``
+        equal-power-blends each seam by HOLDING BACK the overlap tail of
+        every piece until the next window arrives (the concatenated
+        stream is byte-identical to the non-streaming crossfaded wav
+        whenever every trimmed window outlasts the fade — pcm16 windows
+        shorter than the fade re-quantize their chained overlap);
+        ``continuity_prompt=True`` (prompt-conditioned family) carries
+        each window's generated tail codes as the next window's prompt —
+        the streaming path is already sequential, so it costs nothing.
+
         Batch-1 window synthesis reuses the programs a streaming server
         already compiled (``synthesize_stream``'s codes + full-window
         decode executables).  Seeds fold the window index, so different
         windows draw different noise.
         """
-        from prompt_tts_tpu.utils.wav import trim_trailing_silence
+        from prompt_tts_tpu.utils.wav import (crossfade_join,
+                                              trim_trailing_silence)
+        if continuity_prompt and not self._prompted:
+            raise ValueError("continuity_prompt needs the prompt-"
+                             "conditioned model family")
         T = self.config.model.sample_size
+        n_fade = int(crossfade_ms * 24) if crossfade_ms > 0 else 0
         kw = {}
         if self._prompted:
             kw = dict(prompt_wav=prompt_wav, prompt_codes=prompt_codes)
+        held = None  # the previous piece's held-back crossfade tail
         for i, chunk in enumerate(self.split_long_text(text)):
-            pieces = list(self.synthesize_stream(
-                [chunk], seed=seed + i, chunk_frames=T, pcm16=pcm16, **kw))
-            wav = np.concatenate(pieces, axis=1)[0]
+            if continuity_prompt:
+                wavs, codes = self.synthesize([chunk], seed=seed + i,
+                                              pcm16=pcm16,
+                                              return_codes=True, **kw)
+                wav = wavs[0]
+            else:
+                pieces = list(self.synthesize_stream(
+                    [chunk], seed=seed + i, chunk_frames=T, pcm16=pcm16,
+                    **kw))
+                wav = np.concatenate(pieces, axis=1)[0]
             if trim_threshold_db is not None:
                 wav = trim_trailing_silence(
                     wav, threshold_db=trim_threshold_db)
+            if continuity_prompt:
+                kw = dict(prompt_codes=self._continuity_tail(
+                    codes[0], len(wav)))
+            if n_fade > 0:
+                if held is not None:
+                    wav = crossfade_join([held, wav], n_fade)
+                k = min(n_fade, len(wav))
+                held, wav = wav[len(wav) - k:], wav[: len(wav) - k]
+                if len(wav) == 0:
+                    continue
             yield wav
+        if held is not None and len(held):
+            yield held
 
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
         """int codes [B, n_q, T] -> wav (the decode_codec tool path)."""

@@ -123,3 +123,36 @@ def trim_trailing_silence(wav: np.ndarray, frame: int = 1024,
         return wav
     end = min(len(wav), int(active[-1] + 2) * frame)
     return wav[:end]
+
+
+def crossfade_join(pieces, n: int) -> np.ndarray:
+    """Join 1-D wav pieces with an ``n``-sample equal-power crossfade.
+
+    Adjacent long-form windows are synthesized from INDEPENDENT noise, so
+    their seams are uncorrelated signals: an equal-power (sin/cos) fade
+    keeps the summed energy constant through the overlap, where a linear
+    fade would dip up to 3 dB at the midpoint.  Each join consumes ``n``
+    samples of overlap (output length = sum(len) - (k-1) * n for k
+    pieces, when every piece is longer than ``n``).
+
+    Works for float wavs and int16 PCM alike: the blend math runs in
+    float32 and int16 inputs are re-quantized round-half-to-even on the
+    way out (same rounding as :func:`pcm16_bytes`).
+    """
+    pieces = [np.asarray(p) for p in pieces if len(p)]
+    if not pieces:
+        return np.zeros(0, np.float32)
+    int_out = all(p.dtype == np.int16 for p in pieces)
+    out = pieces[0].astype(np.float32)
+    for p in pieces[1:]:
+        p = p.astype(np.float32)
+        k = min(int(n), len(out), len(p))
+        if k <= 0:
+            out = np.concatenate([out, p])
+            continue
+        theta = (np.arange(k, dtype=np.float32) + 0.5) * (np.pi / 2 / k)
+        blend = out[-k:] * np.cos(theta) + p[:k] * np.sin(theta)
+        out = np.concatenate([out[:-k], blend, p[k:]])
+    if int_out:
+        out = np.clip(np.round(out), -32768, 32767).astype(np.int16)
+    return out
