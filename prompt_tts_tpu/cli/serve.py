@@ -65,6 +65,29 @@ def parse_args(argv=None):
     p.add_argument("--sp", type=int, default=1,
                    help="Sequence-parallel serving: shard latent time "
                         "over the mesh 'seq' axis (ring attention).")
+    p.add_argument("--max_queue", type=int, default=32,
+                   help="Admission control: bound on queued batcher "
+                        "requests; past it, POSTs are rejected with 429 "
+                        "immediately instead of queueing (keeps overload "
+                        "memory bounded and admitted-work latency "
+                        "intact).")
+    p.add_argument("--crossfade_ms", type=float, default=20.0,
+                   help="Long-form seam treatment: equal-power crossfade "
+                        "of this many milliseconds at every window join "
+                        "(0 = hard concatenation; windows draw "
+                        "independent noise, so hard joins step "
+                        "discontinuously).")
+    p.add_argument("--continuity_prompt", action="store_true",
+                   help="Prompt-conditioned family: condition each "
+                        "long-form window on the previous window's "
+                        "generated tail codes (sequential windows, "
+                        "cross-window speaker/style continuity). "
+                        "Applies to prompted requests only.")
+    p.add_argument("--stream_wait_s", type=float, default=30.0,
+                   help="Admission control for streaming/long-form "
+                        "requests (which bypass the batcher): max wait "
+                        "for one of the two in-flight slots before "
+                        "rejecting with 429.")
     return p.parse_args(argv)
 
 
@@ -87,12 +110,19 @@ class _Batcher:
     """
 
     def __init__(self, synth, max_batch: int, window_s: float,
-                 prompted: bool = False):
+                 prompted: bool = False, max_queue: int = 32):
         self.synth = synth
         self.max_batch = max_batch
         self.window_s = window_s
         self.prompted = prompted
-        self.q: "queue.Queue" = queue.Queue()
+        # ADMISSION CONTROL: the request queue is bounded; submit()
+        # returns None when it is full and the handler answers 429
+        # immediately.  Under sustained overload, memory and worst-case
+        # admitted latency therefore stay bounded by
+        # max_queue + max_batch * (1 + pending depth) requests instead of
+        # growing with the backlog while every caller waits out the
+        # 600 s slot timeout.
+        self.q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         # maxsize bounds device-queue depth (backpressure): at most 2
         # dispatched-but-unpulled batches in flight
         self.pending: "queue.Queue" = queue.Queue(maxsize=2)
@@ -104,9 +134,14 @@ class _Batcher:
         self.collector.start()
 
     def submit(self, text: str, seed: int, prompt_codes=None):
+        """Enqueue one request; returns its slot, or ``None`` when the
+        bounded queue is full (the caller must reject with 429)."""
         done = threading.Event()
         slot = {"done": done}
-        self.q.put((text, seed, prompt_codes, slot))
+        try:
+            self.q.put_nowait((text, seed, prompt_codes, slot))
+        except queue.Full:
+            return None
         return slot
 
     def _dispatch_loop(self):
@@ -279,14 +314,17 @@ def main(argv=None):
     logging.info("ready")
 
     batcher = _Batcher(synth, args.max_batch, args.batch_window_ms / 1e3,
-                       prompted=synth._prompted)
+                       prompted=synth._prompted, max_queue=args.max_queue)
     # streaming requests bypass the batcher; bound their in-flight device
-    # work like the batcher's pending queue bounds batched work
+    # work like the batcher's pending queue bounds batched work.  Their
+    # admission control is the bounded acquire below: a streamer that
+    # cannot get a slot within --stream_wait_s is rejected with 429
+    # instead of queueing on the semaphore forever.
     stream_slots = threading.Semaphore(2)
 
     # --- serving stats (GET /stats): counters + a sliding latency window ---
     stats_lock = threading.Lock()
-    stats = {"requests": 0, "errors": 0, "streamed": 0,
+    stats = {"requests": 0, "errors": 0, "streamed": 0, "rejected": 0,
              "started": time.time()}
     lat_window: list = []               # last <=256 request latencies (s)
     inflight = [0]                      # POSTs being handled RIGHT NOW —
@@ -304,6 +342,14 @@ def main(argv=None):
             lat_window.append(dt)
             if len(lat_window) > 256:
                 del lat_window[: len(lat_window) - 256]
+
+    def reject():
+        # 429s are tracked separately from errors and kept OUT of the
+        # latency window: they are the admission policy working, and
+        # they must not drag p50/p90 for admitted work
+        with stats_lock:
+            stats["requests"] += 1
+            stats["rejected"] += 1
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1: required for chunked transfer encoding (the streaming
@@ -359,6 +405,11 @@ def main(argv=None):
                 self._stream_response(text, seed, prompt, chunk_frames, t0)
                 return
             slot = batcher.submit(text, seed, prompt)
+            if slot is None:
+                reject()
+                self.send_error(429, "server overloaded: request queue "
+                                     "is full, retry later")
+                return
             slot["done"].wait(timeout=600)
             if "error" in slot:
                 record(t0, error=True)
@@ -395,15 +446,24 @@ def main(argv=None):
             kw = {}
             if prompt is not None:
                 kw["prompt_codes"] = prompt[None]
-            with stream_slots:
-                try:
-                    wav = synth.synthesize_long(
-                        text, seed=seed, max_batch=args.max_batch,
-                        pcm16=True, pad_groups=True, **kw)
-                except Exception as e:  # noqa: BLE001
-                    record(t0, error=True)
-                    self.send_error(500, str(e))
-                    return
+            if not stream_slots.acquire(timeout=args.stream_wait_s):
+                reject()
+                self.send_error(429, "server overloaded: long-form slots "
+                                     "busy, retry later")
+                return
+            try:
+                wav = synth.synthesize_long(
+                    text, seed=seed, max_batch=args.max_batch,
+                    pcm16=True, pad_groups=True,
+                    crossfade_ms=args.crossfade_ms,
+                    continuity_prompt=(args.continuity_prompt
+                                       and prompt is not None), **kw)
+            except Exception as e:  # noqa: BLE001
+                record(t0, error=True)
+                self.send_error(500, str(e))
+                return
+            finally:
+                stream_slots.release()
             data = (wav_header(len(wav), SAMPLE_RATE)
                     + wav.astype("<i2", copy=False).tobytes())
             self.send_response(200)
@@ -423,10 +483,18 @@ def main(argv=None):
             kw = {}
             if prompt is not None:
                 kw["prompt_codes"] = prompt[None]
-            with stream_slots:
+            if not stream_slots.acquire(timeout=args.stream_wait_s):
+                reject()
+                self.send_error(429, "server overloaded: streaming slots "
+                                     "busy, retry later")
+                return
+            try:
                 try:
                     gen = synth.synthesize_long_stream(
-                        text, seed=seed, pcm16=True, **kw)
+                        text, seed=seed, pcm16=True,
+                        crossfade_ms=args.crossfade_ms,
+                        continuity_prompt=(args.continuity_prompt
+                                           and prompt is not None), **kw)
                     first = next(gen)            # first window's audio
                 except Exception as e:  # noqa: BLE001
                     record(t0, error=True, streamed=True)
@@ -451,6 +519,8 @@ def main(argv=None):
                     chunk(pcm(piece))
                 self.wfile.write(b"0\r\n\r\n")
                 record(t0, streamed=True)
+            finally:
+                stream_slots.release()
 
         def _stream_response(self, text, seed, prompt, chunk_frames=300,
                              t0=None):
@@ -465,7 +535,12 @@ def main(argv=None):
                 kw["prompt_codes"] = prompt[None]
             n_total = synth.config.model.sample_size * 320
             t0 = time.time() if t0 is None else t0
-            with stream_slots:
+            if not stream_slots.acquire(timeout=args.stream_wait_s):
+                reject()
+                self.send_error(429, "server overloaded: streaming slots "
+                                     "busy, retry later")
+                return
+            try:
                 try:
                     # pcm16=True: chunks arrive device-quantized int16
                     gen = synth.synthesize_stream(
@@ -495,6 +570,8 @@ def main(argv=None):
                     chunk(pcm(piece))
                 self.wfile.write(b"0\r\n\r\n")
                 record(t0, streamed=True)
+            finally:
+                stream_slots.release()
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -508,8 +585,10 @@ def main(argv=None):
                         "requests": stats["requests"],
                         "errors": stats["errors"],
                         "streamed": stats["streamed"],
+                        "rejected": stats["rejected"],
                         "uptime_s": round(time.time() - stats["started"], 1),
                         "queue_depth": batcher.q.qsize(),
+                        "max_queue": args.max_queue,
                         "batches_in_flight": batcher.pending.qsize(),
                         "requests_in_flight": inflight[0],
                     }
@@ -534,7 +613,17 @@ def main(argv=None):
         def log_message(self, fmt, *fmt_args):
             logging.info("%s " + fmt, self.address_string(), *fmt_args)
 
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    class Server(ThreadingHTTPServer):
+        # The listen backlog must comfortably exceed the admission bound:
+        # with the stock backlog of 5, a burst of simultaneous connects
+        # overflows the kernel accept queue and the dropped embryonic
+        # connections surface as ECONNRESET on clients — overload must be
+        # answered by the 429 admission policy above, never by kernel
+        # connection drops (verified: a 24-way burst against backlog 5
+        # reset 10 connections before any handler ran).
+        request_queue_size = max(128, 4 * args.max_queue)
+
+    server = Server((args.host, args.port), Handler)
 
     # graceful shutdown: SIGTERM stops accepting connections, drains the
     # batcher's queued + in-flight work, then exits 0 (the production

@@ -199,6 +199,115 @@ class TestServer:
         assert rc == 0
 
 
+PORT3 = 8793
+
+
+@pytest.fixture(scope="module")
+def overload_server(tmp_path_factory):
+    """A deliberately capacity-starved server: batch 1, queue bound 2 —
+    admission control must 429 the overflow instead of queueing it."""
+    cfg_path = tmp_path_factory.mktemp("serve_overload") / "cfg.json"
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "prompt_tts_tpu.cli.serve",
+         "--cpu", "--steps", "2", "--max_batch", "1",
+         "--port", str(PORT3), "--config_file", str(cfg_path),
+         "--batch_window_ms", "10", "--max_queue", "2",
+         "--stream_wait_s", "0.05"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.time() + 420
+    ready = False
+    lines = []
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "serving on" in line:
+            ready = True
+            break
+        if proc.poll() is not None:
+            break
+    if not ready:
+        proc.kill()
+        pytest.fail("overload server did not become ready:\n"
+                    + "".join(lines[-20:]))
+    yield proc
+    proc.kill()
+    proc.wait()
+
+
+@pytest.mark.slow
+class TestOverload:
+    def test_sustained_overload_bounded(self, overload_server):
+        """24 simultaneous requests against capacity ~5: the overflow is
+        rejected promptly with 429, admitted work completes with intact
+        latency, and the queue never exceeds its bound."""
+        results = []
+        lock = threading.Lock()
+
+        def call(i):
+            try:
+                status, data = _post_port(
+                    "/synthesize",
+                    json.dumps({"text": f"overload {i}"}), PORT3,
+                    timeout=180)
+            except Exception as e:  # noqa: BLE001
+                status, data = -1, str(e).encode()
+            with lock:
+                results.append((status, data))
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(24)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        # while the flood is in flight, the queue must stay bounded
+        depth_seen = 0
+        for _ in range(10):
+            try:
+                st, body = _get("/stats", PORT3, timeout=30)
+                if st == 200:
+                    depth_seen = max(depth_seen,
+                                     json.loads(body)["queue_depth"])
+            except Exception:  # noqa: BLE001 — server busy is fine
+                pass
+            time.sleep(0.05)
+        for t in threads:
+            t.join(180)
+        elapsed = time.time() - t0
+
+        statuses = [s for s, _ in results]
+        assert len(statuses) == 24
+        assert set(statuses) <= {200, 429}, statuses
+        n_ok = statuses.count(200)
+        n_rej = statuses.count(429)
+        assert n_ok >= 1, "no request was admitted"
+        assert n_rej >= 1, "overload produced no rejections"
+        assert depth_seen <= 2, f"queue grew past its bound: {depth_seen}"
+        # admitted responses are real WAVs
+        for s, data in results:
+            if s == 200:
+                assert data[:4] == b"RIFF"
+        # rejections are prompt, not 600-s slot timeouts
+        assert elapsed < 120
+
+        st, body = _get("/stats", PORT3, timeout=30)
+        assert st == 200
+        stats = json.loads(body)
+        assert stats["rejected"] == n_rej
+        assert stats["errors"] == 0
+        # 429s stay OUT of the latency window: p50 reflects admitted work
+        assert stats["latency_s_p50"] < 60
+
+    def test_recovers_after_overload(self, overload_server):
+        """Once the flood clears, a fresh request is served normally."""
+        status, data = _post_port(
+            "/synthesize", json.dumps({"text": "after the storm"}),
+            PORT3, timeout=180)
+        assert status == 200
+        assert data[:4] == b"RIFF"
+
+
 PROMPTED_CONFIG = dict(TINY_CONFIG, prompt_conditioning=True,
                        prompt_frames=8, prompt_encoder_layers=1,
                        prompt_tokens=4)
