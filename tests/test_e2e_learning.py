@@ -58,34 +58,44 @@ class LearnableDataset:
                    "text_mask": self.masks[idx]}
 
 
+@pytest.fixture(scope="module")
+def trained():
+    """Train the tiny model ONCE for the whole module; both the learning
+    proof and the sampler certification reuse the converged state."""
+    data = LearnableDataset()
+    mesh = make_mesh()
+    model = TTS(TINY)
+    sched = linear_schedule()
+    tcfg = TrainConfig(learning_rate=2e-3, lr_warmup_steps=0,
+                       lr_scheduler="constant", batch_size=16)
+
+    batch0 = next(data.batches(16))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch0["codes"][:1]), jnp.zeros((1,), jnp.int32),
+        jnp.asarray(batch0["text_ids"][:1]),
+        jnp.asarray(batch0["text_mask"][:1]))
+    state = create_train_state(model, params, tcfg, 10_000)
+    step = jit_train_step(make_train_step(model.apply, sched), mesh)
+
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for it in range(700):
+        for batch in data.batches(16, seed=it):
+            rng, srng = jax.random.split(rng)
+            state, m = step(state, shard_batch(batch, mesh), srng)
+            if first is None:
+                first = float(m["loss"])
+    return dict(data=data, model=model, sched=sched, state=state,
+                first_loss=first, last_loss=float(m["loss"]))
+
+
 @pytest.mark.slow
 class TestLearnsTextToCode:
-    def test_loss_collapses_and_sampling_recovers_mapping(self):
-        data = LearnableDataset()
-        mesh = make_mesh()
-        model = TTS(TINY)
-        sched = linear_schedule()
-        tcfg = TrainConfig(learning_rate=2e-3, lr_warmup_steps=0,
-                           lr_scheduler="constant", batch_size=16)
-
-        batch0 = next(data.batches(16))
-        params = model.init(
-            jax.random.PRNGKey(0),
-            jnp.asarray(batch0["codes"][:1]), jnp.zeros((1,), jnp.int32),
-            jnp.asarray(batch0["text_ids"][:1]),
-            jnp.asarray(batch0["text_mask"][:1]))
-        state = create_train_state(model, params, tcfg, 10_000)
-        step = jit_train_step(make_train_step(model.apply, sched), mesh)
-
-        rng = jax.random.PRNGKey(1)
-        first = None
-        for it in range(700):
-            for batch in data.batches(16, seed=it):
-                rng, srng = jax.random.split(rng)
-                state, m = step(state, shard_batch(batch, mesh), srng)
-                if first is None:
-                    first = float(m["loss"])
-        last = float(m["loss"])
+    def test_loss_collapses_and_sampling_recovers_mapping(self, trained):
+        data, model = trained["data"], trained["model"]
+        sched, state = trained["sched"], trained["state"]
+        first, last = trained["first_loss"], trained["last_loss"]
         assert last < first * 0.35, (first, last)
 
         # Conditional recovery: noise each class's target to t=400 with the
@@ -123,3 +133,45 @@ class TestLearnsTextToCode:
         out = ddim_sample(denoise, sched, x_T, num_inference_steps=25)
         assert bool(jnp.isfinite(out).all())
         assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+
+    def test_reduced_step_dpm_matches_ddim_on_learned_model(self, trained):
+        """Certify the reduced-step sampler claim on a LEARNED denoiser,
+        not just oracle recovery (round-3 verdict #4): from identical
+        noise and conditioning, DPM-Solver++(2M) at 20/25 steps must land
+        where DDIM-50 does — same recovered class-conditional means, and
+        sample-level distance small against the 1.4 class separation.
+        (The latents here are synthetic code levels, not real EnCodec
+        frames, so the distance is reported in latent space rather than
+        as a mel distance; BENCHMARKS.md carries the numbers.)"""
+        from prompt_tts_tpu.diffusion import dpm_solver_sample
+
+        data, model = trained["data"], trained["model"]
+        sched, state = trained["sched"], trained["state"]
+        sep = float(data.levels[1] - data.levels[0])  # 1.4
+
+        ids = jnp.asarray(np.stack(
+            [np.eye(16, dtype=np.int32)[0] * (c + 1) for c in (0, 1)]))
+        mask = jnp.asarray(np.tile(np.eye(16, dtype=np.int32)[0], (2, 1)))
+        ctx = model.apply(state.params, ids, mask, method=TTS.encode_text)
+
+        def denoise(x, t):
+            return model.apply(state.params, x, t, ctx, method=TTS.denoise)
+
+        x_T = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 8))
+        ref = np.asarray(ddim_sample(denoise, sched, x_T,
+                                     num_inference_steps=50))
+        m_ref = ref.mean(axis=(1, 2))
+        for n_steps in (25, 20):
+            out = np.asarray(dpm_solver_sample(denoise, sched, x_T,
+                                               num_inference_steps=n_steps))
+            m_out = out.mean(axis=(1, 2))
+            l1 = float(np.abs(out - ref).mean())
+            print(f"DPM-{n_steps} vs DDIM-50: latent L1 {l1:.4f}, "
+                  f"class means {m_out} vs {m_ref}")
+            # recovered class-conditional means agree with DDIM-50's
+            # (within 15% of the class separation, per class)
+            assert np.all(np.abs(m_out - m_ref) < 0.15 * sep), (m_out, m_ref)
+            # and the samples themselves are close relative to the classes
+            assert l1 < 0.15 * sep, l1
+            # DPM preserves the class ordering the learning test proved
+            assert m_out[0] < m_out[1], m_out
