@@ -75,6 +75,15 @@ class CheckpointManager:
         """Restore params/opt_state (and optionally the PRNG key).
 
         Returns ``(state, step)`` or ``(state, step, rng)``.
+
+        MESH-ELASTIC: the template ``state``'s leaves carry their own
+        shardings, and orbax lays every restored array out per the
+        TEMPLATE — the on-disk checkpoint is topology-agnostic.  A state
+        saved under a 4x2 tp-sharded mesh restores bit-equal onto a pure
+        8x1 dp mesh, a 2x4 mesh (different TP degree), or one device:
+        build the fresh state under the NEW mesh/shardings and restore
+        into it (the preemption/rescale path;
+        tests/test_tp.py::TestMeshElasticRestore).
         """
         step = self.latest_step() if step is None else step
         if step is None:
