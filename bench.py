@@ -24,7 +24,11 @@ hitting ~96% of v5e bf16 peak):
     throughput and is comparable across rounds.
   * rtf_with_host_transfers — every call pulls the 9 MB audio batch to
     the host (serving-style; includes this harness's ~25-30 ms RPC floor,
-    so it UNDERSTATES what a production host would see).
+    so it UNDERSTATES what a production host would see).  Since r4 the
+    JSON also carries a per-call decomposition (dispatch / pull / chained
+    device time / residual overhead, median across the 5 calls) so a
+    round-over-round swing in THIS metric is attributable on sight —
+    device_ms moved = real regression; overhead moved = relay floor.
 """
 
 import json
@@ -113,16 +117,43 @@ def main():
     rtf = audio_seconds / per_iter
 
     # --- serving-style RTF: per-call with full host audio pull ---
+    # Per-call DECOMPOSITION (round-3 verdict #7): each call is timed as
+    # dispatch (async enqueue returning) + pull (np.asarray host read),
+    # and the chained-diff device time above bounds the true compute —
+    # so a round-over-round swing in this metric is attributable on
+    # sight: device_ms moves = real regression; dispatch/pull move =
+    # the relay's ~25-30 ms RPC floor breathing (it swung the r2->r3
+    # number 126.6 -> 110.1 with device RTF UP, see BENCHMARKS.md).
     n_iters = 5
     seeds = [jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape)
              for i in range(n_iters)]
-    t_start = time.perf_counter()
+    call_ms = []
     for i in range(n_iters):
+        t0 = time.perf_counter()
         w, _ = synth._synth_fn(synth.model_params, synth.codec_params,
                                seeds[i], ids, mask)
+        t1 = time.perf_counter()
         np.asarray(w)
-    elapsed_xfer = (time.perf_counter() - t_start) / n_iters
+        t2 = time.perf_counter()
+        call_ms.append(((t1 - t0) * 1e3, (t2 - t1) * 1e3))
+    totals = sorted(d + p for d, p in call_ms)
+    med_total = totals[len(totals) // 2]
+    elapsed_xfer = med_total / 1e3
     rtf_xfer = audio_seconds / elapsed_xfer
+    device_ms = per_iter * 1e3
+    seq_breakdown = {
+        "seq_dispatch_ms_med": round(
+            sorted(d for d, _ in call_ms)[n_iters // 2], 1),
+        "seq_pull_ms_med": round(
+            sorted(p for _, p in call_ms)[n_iters // 2], 1),
+        "seq_total_ms_min": round(totals[0], 1),
+        "seq_total_ms_med": round(med_total, 1),
+        "device_ms_chained": round(device_ms, 1),
+        # what the relay adds per sequential call beyond pure compute —
+        # the RPC floor + host quantize/copy; THIS is the term that
+        # swings between rounds, not the device program
+        "seq_overhead_ms_med": round(med_total - device_ms, 1),
+    }
 
     # --- pipelined serving: dispatch batch i+1 BEFORE pulling batch i's
     # audio (JAX dispatch is async), so the host transfer overlaps the
@@ -157,9 +188,12 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rtf / TARGET_RTF, 3),
         "rtf_device_program": round(rtf, 2),
+        # r4: median of per-call totals (r2/r3 used the loop mean; the
+        # median resists one slow relay round-trip)
         "rtf_with_host_transfers": round(rtf_xfer, 2),
         "rtf_serving_pipelined": round(rtf_pipe, 2),
-        "methodology": "r3-chained-diff",
+        "methodology": "r4-chained-diff+decomposed",
+        **seq_breakdown,
     }))
 
 
