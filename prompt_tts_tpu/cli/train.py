@@ -55,6 +55,13 @@ def parse_args(argv=None):
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--remat", action="store_true",
                    help="Activation rematerialization (jax.checkpoint).")
+    p.add_argument("--dropout_rng", choices=("threefry", "rbg"),
+                   default="threefry",
+                   help="PRNG for the dropout stream only. 'rbg' uses the "
+                        "XLA-native RngBitGenerator: measured 253.8 -> "
+                        "250.4 ms on the flagship batch-32 step "
+                        "(tools/abl_train_opt.py); bits are not stable "
+                        "across XLA releases, hence opt-in.")
     p.add_argument("--smoke", action="store_true",
                    help="Tiny synthetic run on CPU (sanity check).")
     p.add_argument("--streaming", action="store_true",
@@ -183,6 +190,7 @@ def main(argv=None):
         eval_every=args.eval_every,
         init_params=init_params,
         per_process_data=args.per_process_data,
+        dropout_rng_impl=args.dropout_rng,
     )
     if args.resume:
         trainer.restore_latest()

@@ -54,6 +54,7 @@ class Trainer:
         eval_dataset=None,
         init_params=None,
         per_process_data: bool = False,
+        dropout_rng_impl: str = "threefry",
     ):
         # profile_steps > 0: capture a jax.profiler trace of that many steps
         # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
@@ -157,7 +158,8 @@ class Trainer:
         self._step_fn = jit_train_step(
             make_train_step(self.model.apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob,
-                            ema_decay=tcfg.ema_decay),
+                            ema_decay=tcfg.ema_decay,
+                            dropout_rng_impl=dropout_rng_impl),
             self.mesh,
             state_sharding=self._state_sharding,
             batch_sharding=batch_sh,

@@ -28,13 +28,29 @@ from prompt_tts_tpu.train.state import TrainState
 
 def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
                  remat: bool = False,
-                 cond_dropout_prob: float = 0.0) -> Callable:
+                 cond_dropout_prob: float = 0.0,
+                 dropout_rng_impl: str = "threefry") -> Callable:
     """Build the DDPM epsilon-MSE loss over one batch.
 
     Batch: ``codes [B,T,C]`` in [-1,1], ``text_ids [B,S]``, ``mask [B,S]``.
     ``cond_dropout_prob`` > 0 randomly nulls the text conditioning per
     sample (classifier-free guidance training).
+
+    ``dropout_rng_impl="rbg"`` generates the DROPOUT stream with the
+    XLA-native RngBitGenerator instead of threefry: the flagship text
+    encoder draws ~180M dropout bits per step and threefry costs ~20 ms
+    of the 63.5 ms forward; rbg measured 253.8 -> 250.4 ms on the full
+    batch-32 step (tools/abl_train_opt.py, v5e).  Only the dropout
+    stream changes — noise/timestep/CFG streams stay threefry, so data
+    order, the forward process, and checkpoint-resume reproducibility
+    (within a run, the impl is part of the program) are unaffected.
+    The dropout stream has no parity contract with the reference (torch
+    RNG differs anyway); opt-in because rbg's bits are
+    generator-versioned rather than key-stable across XLA releases.
     """
+    if dropout_rng_impl not in ("threefry", "rbg"):
+        raise ValueError(f"dropout_rng_impl must be 'threefry' or 'rbg', "
+                         f"got {dropout_rng_impl!r}")
     if remat:
         # bind the static kwargs BEFORE jax.checkpoint: checkpoint treats
         # every argument as dynamic, and a traced `deterministic` bool
@@ -76,6 +92,12 @@ def make_loss_fn(apply_fn: Callable, schedule: DiffusionSchedule,
         cond = (noisy, timesteps, text_ids, text_mask)
         if prompt is not None:
             cond = cond + (prompt,)
+        if dropout_rng_impl == "rbg":
+            # rbg keys are 4 uint32 words; derive them from the 2-word
+            # threefry-split key so the stream is still a pure function
+            # of the step rng
+            rng_drop = jax.random.wrap_key_data(
+                jnp.tile(rng_drop, 2), impl="rbg")
         pred = model_fn(params, *cond, rngs={"dropout": rng_drop})
         loss = jnp.mean(
             (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
@@ -90,6 +112,7 @@ def make_train_step(
     remat: bool = False,
     cond_dropout_prob: float = 0.0,
     ema_decay: float = 0.0,
+    dropout_rng_impl: str = "threefry",
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Un-jitted train step; jit/shard with :func:`jit_train_step`.
 
@@ -103,7 +126,8 @@ def make_train_step(
     non-boundary micro-steps.
     """
     loss_fn = make_loss_fn(apply_fn, schedule, remat=remat,
-                           cond_dropout_prob=cond_dropout_prob)
+                           cond_dropout_prob=cond_dropout_prob,
+                           dropout_rng_impl=dropout_rng_impl)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)

@@ -23,13 +23,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = 8
 TRIALS = 3
 B = 32
 
-# flagship UNet level shapes (block_out_channels=(192,384,576,768),
+
+def k_for(flop, nbytes):
+    """Chain length so the K-vs-2K delta is >= ~80 ms: the relay's RPC
+    floor breathes by a few ms between calls, which swamped sub-ms
+    per-iter deltas at fixed K=8 (first r4 run: negative times, >100%
+    of peak).  Estimate per-iter as the slower of 60 TF/s MXU and
+    600 GB/s HBM; scan is rolled so compile cost is K-independent."""
+    est = max(flop / 60e12, nbytes / 600e9, 1e-5)
+    return int(min(2048, max(16, 0.08 / est)))
+
+# flagship UNet level shapes (block_out_channels=(256,512,768,768),
 # T halves per level: 900/450/225/113)
-SHAPES = [(900, 192), (450, 384), (225, 576), (113, 768)]
+SHAPES = [(900, 256), (450, 512), (225, 768), (113, 768)]
 
 
 def timed_chain(body, args, n):
@@ -49,14 +58,16 @@ def timed_chain(body, args, n):
     return best
 
 
-def per_iter(body, args):
+def per_iter(body, args, K):
     return (timed_chain(body, args, 2 * K) - timed_chain(body, args, K)) / K
 
 
 def bench(name, f, x, w, flop):
     """Time fwd and fwd+bwd of y=f(x, w); report TFLOPS vs v5e peak."""
+    nbytes = x.nbytes * 3 + (w[0].nbytes if isinstance(w, tuple) else w.nbytes)
+    K = k_for(flop, nbytes)
     def body_fwd(c, i, x, w):
-        y = f(x * c, w)
+        y = f((x * c).astype(x.dtype), w)
         return 1.0 + jnp.mean(y).astype(jnp.float32) * 1e-20
 
     def loss(x, w):
@@ -65,19 +76,19 @@ def bench(name, f, x, w, flop):
     g = jax.grad(loss, argnums=(0, 1))
 
     def body_bwd(c, i, x, w):
-        gx, gw = g(x * c, w)
+        gx, gw = g((x * c).astype(x.dtype), w)
         return 1.0 + (jnp.mean(gx) + jnp.mean(gw[0] if isinstance(gw, tuple)
                                               else gw)).astype(
             jnp.float32) * 1e-20
 
-    t_f = per_iter(body_fwd, (x, w))
-    t_b = per_iter(body_bwd, (x, w))
+    t_f = per_iter(body_fwd, (x, w), K)
+    t_b = per_iter(body_bwd, (x, w), max(16, K // 3))
     tf_f = flop / 1e12 / t_f
     tf_b = 3 * flop / 1e12 / t_b  # bwd ~= 2x fwd FLOPs
     print(f"{name:22s}: fwd {t_f*1e3:7.2f} ms ({tf_f:5.1f} TF, "
           f"{100*tf_f/197:4.1f}%)  fwd+bwd {t_b*1e3:7.2f} ms "
           f"({tf_b:5.1f} TF, {100*tf_b/197:4.1f}%)  bwd/fwd "
-          f"{(t_b-t_f)/t_f:4.1f}x", flush=True)
+          f"{(t_b-t_f)/t_f:4.1f}x  [K={K}]", flush=True)
 
 
 print("backend:", jax.default_backend(), flush=True)
