@@ -53,7 +53,9 @@ def restore_model_params(ckpt_dir: str, cfg, ema: bool = False
         # restore target needs the ema slot regardless of the train
         # config the checkpoint was written under
         state = state.replace(ema_params=params)
-    state, step = mgr.restore(state)
+    # params_only: this consumer never touches the optimizer, and the
+    # opt-state layout is training-config-dependent (bucketed_opt)
+    state, step = mgr.restore(state, params_only=True)
     log.info("restored checkpoint at step %d%s", step,
              " (EMA params)" if ema else "")
     return (state.ema_params if ema else state.params), step

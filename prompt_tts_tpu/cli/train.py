@@ -55,6 +55,13 @@ def parse_args(argv=None):
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--remat", action="store_true",
                    help="Activation rematerialization (jax.checkpoint).")
+    p.add_argument("--bucketed_opt", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="Shape-bucketed optimizer update (58.0 -> 9.5 ms "
+                        "on the flagship step; train/bucketed.py). auto = "
+                        "on unless --tp > 1. The optimizer-state layout "
+                        "is part of the checkpoint: keep it consistent "
+                        "across save/restore.")
     p.add_argument("--dropout_rng", choices=("threefry", "rbg"),
                    default="threefry",
                    help="PRNG for the dropout stream only. 'rbg' uses the "
@@ -191,6 +198,7 @@ def main(argv=None):
         init_params=init_params,
         per_process_data=args.per_process_data,
         dropout_rng_impl=args.dropout_rng,
+        bucketed_opt=args.bucketed_opt,
     )
     if args.resume:
         trainer.restore_latest()

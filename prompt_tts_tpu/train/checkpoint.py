@@ -71,10 +71,16 @@ class CheckpointManager:
             return getattr(meta, name, None) is not None
 
     def restore(self, state: TrainState, step: Optional[int] = None,
-                with_rng: bool = False):
+                with_rng: bool = False, params_only: bool = False):
         """Restore params/opt_state (and optionally the PRNG key).
 
         Returns ``(state, step)`` or ``(state, step, rng)``.
+
+        ``params_only=True`` skips the optimizer state entirely — the
+        inference/eval restore path.  The opt-state pytree layout depends
+        on the training configuration (``bucketed_opt`` stacks the
+        moments — train/bucketed.py), and consumers that only need
+        params must not couple to it.
 
         MESH-ELASTIC: the template ``state``'s leaves carry their own
         shardings, and orbax lays every restored array out per the
@@ -90,8 +96,10 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
         composite = {
             "params": ocp.args.StandardRestore(state.params),
-            "opt_state": ocp.args.StandardRestore(state.opt_state),
         }
+        if not params_only:
+            composite["opt_state"] = ocp.args.StandardRestore(
+                state.opt_state)
         want_ema = (state.ema_params is not None
                     and self.has_item("ema_params", step))
         if want_ema:
@@ -101,11 +109,9 @@ class CheckpointManager:
             composite["rng"] = ocp.args.ArrayRestore()
         restored = self._mgr.restore(
             step, args=ocp.args.Composite(**composite))
-        state = state.replace(
-            params=restored["params"],
-            opt_state=restored["opt_state"],
-            step=step,
-        )
+        state = state.replace(params=restored["params"], step=step)
+        if not params_only:
+            state = state.replace(opt_state=restored["opt_state"])
         if state.ema_params is not None:
             # legacy checkpoint without an EMA entry: re-seed the average
             # from the restored params, as a REAL copy (aliased leaves

@@ -31,7 +31,14 @@ class TrainState(train_state.TrainState):
 def make_optimizer(
     cfg: TrainConfig,
     num_training_steps: int,
+    params: Any = None,
+    bucketed_opt: bool = False,
 ) -> optax.GradientTransformation:
+    """``bucketed_opt=True`` runs the clip+AdamW chain over shape-bucketed
+    stacks of the param tree (requires ``params`` for the static plan):
+    measured 58.0 -> 9.5 ms/update on the flagship 245M tree — the
+    per-leaf update chains are op-overhead-bound, see train/bucketed.py.
+    Not TP-compatible (stacked moments defeat per-leaf sharding)."""
     schedule = get_schedule(
         cfg.lr_scheduler,
         learning_rate=cfg.learning_rate,
@@ -53,17 +60,38 @@ def make_optimizer(
                 and getattr(path[-1], "key", None) == "weight"),
             params)
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            learning_rate=schedule,
-            b1=cfg.adam_b1,
-            b2=cfg.adam_b2,
-            eps=cfg.adam_eps,
-            weight_decay=cfg.weight_decay,
-            mask=decay_mask,
-        ),
-    )
+    if bucketed_opt:
+        if params is None:
+            raise ValueError("bucketed_opt needs the param tree for its "
+                             "static bucketing plan")
+        from prompt_tts_tpu.train.bucketed import bucketed, plan_buckets
+        decay_tree = decay_mask(params)
+        _, _, flags = plan_buckets(params, decay_tree)
+        inner = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adamw(
+                learning_rate=schedule,
+                b1=cfg.adam_b1,
+                b2=cfg.adam_b2,
+                eps=cfg.adam_eps,
+                weight_decay=cfg.weight_decay,
+                # per-bucket bools: buckets never mix decay flags
+                mask=list(flags),
+            ),
+        )
+        tx = bucketed(inner, params, decay_tree)
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adamw(
+                learning_rate=schedule,
+                b1=cfg.adam_b1,
+                b2=cfg.adam_b2,
+                eps=cfg.adam_eps,
+                weight_decay=cfg.weight_decay,
+                mask=decay_mask,
+            ),
+        )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx
@@ -74,6 +102,7 @@ def create_train_state(
     params,
     cfg: TrainConfig,
     num_training_steps: int,
+    bucketed_opt: bool = False,
 ) -> TrainState:
     # a REAL copy, not an identity tree.map: aliased leaves would put the
     # same buffer in the donated TrainState twice (params + ema), which
@@ -84,6 +113,7 @@ def create_train_state(
     return TrainState.create(
         apply_fn=model.apply,
         params=params,
-        tx=make_optimizer(cfg, num_training_steps),
+        tx=make_optimizer(cfg, num_training_steps, params=params,
+                          bucketed_opt=bucketed_opt),
         ema_params=ema,
     )
