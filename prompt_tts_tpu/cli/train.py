@@ -57,11 +57,19 @@ def parse_args(argv=None):
                    help="Activation rematerialization (jax.checkpoint).")
     p.add_argument("--bucketed_opt", choices=("auto", "on", "off"),
                    default="auto",
-                   help="Shape-bucketed optimizer update (58.0 -> 9.5 ms "
-                        "on the flagship step; train/bucketed.py). auto = "
-                        "on unless --tp > 1. The optimizer-state layout "
+                   help="Shape-bucketed optimizer update (train/"
+                        "bucketed.py). Wins standalone (58.0 -> 9.5 ms) "
+                        "but LOSES inside the fused step program "
+                        "(tools/abl_step_matrix.py), so auto = off. "
+                        "Not TP-compatible. The optimizer-state layout "
                         "is part of the checkpoint: keep it consistent "
                         "across save/restore.")
+    p.add_argument("--fused_attn_bwd", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="Pallas fused attention backward (forward and "
+                        "inference numerics unchanged). auto = on for "
+                        "TPU dp/tp meshes (multi-device via shard_map); "
+                        "seq-parallel meshes keep XLA autodiff.")
     p.add_argument("--dropout_rng", choices=("threefry", "rbg"),
                    default="threefry",
                    help="PRNG for the dropout stream only. 'rbg' uses the "
@@ -199,6 +207,7 @@ def main(argv=None):
         per_process_data=args.per_process_data,
         dropout_rng_impl=args.dropout_rng,
         bucketed_opt=args.bucketed_opt,
+        fused_attn_bwd=args.fused_attn_bwd,
     )
     if args.resume:
         trainer.restore_latest()

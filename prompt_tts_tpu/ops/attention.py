@@ -12,10 +12,54 @@ is used on TPU for long sequences; see `_use_pallas` for the gate.
 """
 
 import functools
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# fused-backward arming (train path).  Like parallel.sp this is scoped
+# process-global state consulted at TRACE time: the Trainer arms it
+# around its step so only that program's backward routes to the Pallas
+# kernel (ops/pallas/attention_bwd.py).  The PRIMAL of the fused-bwd
+# wrapper is _xla_attention itself, so arming never changes forward or
+# inference numerics — only what jax.grad emits.
+#
+# On a multi-device mesh the pallas_call has no GSPMD partitioning rule,
+# so the armed mesh routes eligible sites through shard_map over the
+# (data, model) axes instead: attention is batch- and head-independent,
+# so sharding B over ``data`` and H over ``model`` needs no collectives
+# and each shard runs the kernel on its local block (the same pattern as
+# parallel.sp's ring dispatch, minus the ring).  Seq-parallel meshes are
+# excluded — time-sharded activations belong to ring attention / GSPMD.
+_FUSED_BWD_ARMED = [False]
+_FUSED_BWD_MIN_TQ = [0]   # route only sites with Tq >= this (0 = all)
+_FUSED_BWD_MESH = [None]  # multi-device dispatch mesh (None = direct)
+
+
+def enable_fused_bwd(min_tq: int = 0, mesh=None) -> None:
+    _FUSED_BWD_ARMED[0] = True
+    _FUSED_BWD_MIN_TQ[0] = min_tq
+    _FUSED_BWD_MESH[0] = mesh
+
+
+def disable_fused_bwd() -> None:
+    _FUSED_BWD_ARMED[0] = False
+    _FUSED_BWD_MIN_TQ[0] = 0
+    _FUSED_BWD_MESH[0] = None
+
+
+@contextmanager
+def fused_bwd_scope(enabled: bool = True, min_tq: int = 0, mesh=None):
+    prev = (_FUSED_BWD_ARMED[0], _FUSED_BWD_MIN_TQ[0], _FUSED_BWD_MESH[0])
+    _FUSED_BWD_ARMED[0] = enabled
+    _FUSED_BWD_MIN_TQ[0] = min_tq
+    _FUSED_BWD_MESH[0] = mesh
+    try:
+        yield
+    finally:
+        (_FUSED_BWD_ARMED[0], _FUSED_BWD_MIN_TQ[0],
+         _FUSED_BWD_MESH[0]) = prev
 
 
 def _xla_attention(
@@ -75,10 +119,79 @@ def scaled_dot_product_attention(
         out = _sp.maybe_ring_attention(q, k, v, bias)
         if out is not None:
             return out
+    if _use_fused_bwd(q, k, v, bias):
+        return _fused_bwd_call(q, k, v, bias)
     if _use_pallas(q, k, v, bias):
         from prompt_tts_tpu.ops.pallas.attention import flash_attention
         return flash_attention(q, k, v, bias=bias)
     return _xla_attention(q, k, v, bias)
+
+
+def _use_fused_bwd(q, k, v, bias) -> bool:
+    """Route through the custom-vjp wrapper whose primal is the XLA path
+    and whose backward is the fused Pallas kernel.  Armed by the caller
+    (Trainer) — see enable_fused_bwd/fused_bwd_scope; key-only biases
+    (or None) only, like the forward kernel.
+    PROMPT_TTS_TPU_ATTN_BWD=pallas|xla overrides the arming."""
+    import os
+    mode = os.environ.get("PROMPT_TTS_TPU_ATTN_BWD", "auto")
+    if mode == "xla":
+        return False
+    if not (mode == "pallas" or _FUSED_BWD_ARMED[0]):
+        return False
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    if Tq < _FUSED_BWD_MIN_TQ[0]:
+        return False
+    if bias is not None and bias.shape != (B, 1, 1, Tk):
+        return False
+    mesh = _FUSED_BWD_MESH[0]
+    if mesh is not None and mesh.devices.size > 1:
+        from prompt_tts_tpu.parallel.mesh import DATA_AXIS, seq_size
+        if seq_size(mesh) > 1:
+            return False          # SP owns attention on seq meshes
+        if B % mesh.shape[DATA_AXIS]:
+            return False
+    # VMEM budget: the kernel keeps full K/V panels (+ f32 dk/dv blocks)
+    # resident per batch row
+    return Tk <= 4096 and D <= 128
+
+
+def _fused_bwd_call(q, k, v, bias):
+    """Invoke the fused-backward wrapper — directly on a single device,
+    under shard_map over the armed mesh's (data, model) axes otherwise.
+    Attention is independent across batch and heads, so the sharded
+    dispatch needs no collectives; heads stay replicated when the model
+    axis doesn't divide them (the dp sharding alone is still valid)."""
+    from prompt_tts_tpu.ops.pallas.attention_bwd import attention_fused_bwd
+    mesh = _FUSED_BWD_MESH[0]
+    if mesh is None or mesh.devices.size == 1:
+        return attention_fused_bwd(q, k, v, bias)
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map            # jax >= 0.8
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from prompt_tts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    n_model = mesh.shape[MODEL_AXIS]
+    model = MODEL_AXIS if (n_model > 1 and q.shape[2] % n_model == 0) \
+        else None
+    spec = P(DATA_AXIS, None, model, None)
+    # check_vma=False: the pallas_call's out_shape structs carry no vma
+    # annotation, which the varying-mesh-axes checker rejects; the check
+    # protects cross-shard dataflow and this dispatch has none (every
+    # output element depends only on its own shard's inputs).
+    if bias is None:
+        fn = shard_map(
+            lambda q_, k_, v_: attention_fused_bwd(q_, k_, v_, None),
+            mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False)
+        return fn(q, k, v)
+    fn = shard_map(
+        attention_fused_bwd, mesh=mesh,
+        in_specs=(spec,) * 3 + (P(DATA_AXIS, None, None, None),),
+        out_specs=spec, check_vma=False)
+    return fn(q, k, v, bias)
 
 
 def _use_pallas(q, k, v, bias) -> bool:

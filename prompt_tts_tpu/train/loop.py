@@ -56,6 +56,7 @@ class Trainer:
         per_process_data: bool = False,
         dropout_rng_impl: str = "threefry",
         bucketed_opt: str = "auto",
+        fused_attn_bwd: str = "auto",
     ):
         # profile_steps > 0: capture a jax.profiler trace of that many steps
         # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
@@ -128,18 +129,39 @@ class Trainer:
         if init_params is not None:
             params = self._adopt_init_params(params, init_params)
         # bucketed_opt: run clip+AdamW over shape-bucketed stacks of the
-        # param tree (58.0 -> 9.5 ms/update on the flagship 245M tree,
-        # tools/abl_opt_shape.py — the per-leaf chains are op-overhead-
-        # bound). "auto" enables it whenever TP is off; stacked moments
-        # have no per-leaf sharding, so TP forces the per-leaf layout.
-        # The optimizer-state layout is part of the checkpoint: keep the
-        # setting consistent across save/restore.
+        # param tree.  STANDALONE the bucketed update wins big (58.0 ->
+        # 9.5 ms on the flagship 245M tree, tools/abl_opt_shape.py: the
+        # per-leaf chains are op-overhead-bound) — but inside the fused
+        # step program it LOSES (tools/abl_step_matrix.py, same process
+        # and data: 254.0 -> 280.7 ms/step with XLA attention backward,
+        # 235.3 -> 246.5 with the fused one).  XLA overlaps the per-leaf
+        # update chains with the tail of the backward; the stacked
+        # layout serializes behind the gather/scatter of the buckets.
+        # "auto" therefore resolves to OFF; "on" remains for layouts
+        # where the standalone win transfers (and is TP-incompatible:
+        # stacked moments have no per-leaf sharding). The optimizer-state
+        # layout is part of the checkpoint: keep the setting consistent
+        # across save/restore.
+        # fused_attn_bwd: route attention backwards through the Pallas
+        # fused-bwd kernel (ops/pallas/attention_bwd.py) — the primal
+        # stays the XLA path, only jax.grad changes (measured 254.0 ->
+        # 235.3 ms/step on the flagship batch-32 bf16 config,
+        # tools/abl_step_matrix.py). "auto" arms it on TPU for dp/tp
+        # meshes (multi-device dispatch runs under shard_map over the
+        # data/model axes — ops.attention._fused_bwd_call); seq-parallel
+        # meshes keep XLA autodiff/ring attention.
+        if fused_attn_bwd not in ("auto", "on", "off"):
+            raise ValueError(f"fused_attn_bwd must be auto/on/off, "
+                             f"got {fused_attn_bwd!r}")
+        self._fused_bwd = (
+            fused_attn_bwd == "on"
+            or (fused_attn_bwd == "auto"
+                and jax.default_backend() == "tpu"
+                and n_seq == 1))
         if bucketed_opt not in ("auto", "on", "off"):
             raise ValueError(f"bucketed_opt must be auto/on/off, "
                              f"got {bucketed_opt!r}")
-        use_buckets = (bucketed_opt == "on"
-                       or (bucketed_opt == "auto"
-                           and self.mesh.shape[MODEL_AXIS] == 1))
+        use_buckets = bucketed_opt == "on"
         if bucketed_opt == "on" and self.mesh.shape[MODEL_AXIS] > 1:
             raise ValueError("bucketed_opt is not TP-compatible: stacked "
                              "optimizer moments cannot be sharded "
@@ -222,6 +244,16 @@ class Trainer:
             return contextlib.nullcontext()
         return sp.sequence_parallel(self._sp_mesh)
 
+    def _attn_bwd_scope(self):
+        """Arm the fused attention backward while this trainer's step
+        traces (scoped like _sp_scope — the arming is process-global)."""
+        if not self._fused_bwd:
+            import contextlib
+            return contextlib.nullcontext()
+        from prompt_tts_tpu.ops.attention import fused_bwd_scope
+        mesh = self.mesh if self.mesh.devices.size > 1 else None
+        return fused_bwd_scope(mesh=mesh)
+
     def restore_latest(self) -> Optional[int]:
         if self.ckpt is None or self.ckpt.latest_step() is None:
             return None
@@ -277,7 +309,7 @@ class Trainer:
                     import os
                     trace_dir = os.path.join(self.metrics._log_dir, "xprof")
                     jax.profiler.start_trace(trace_dir)
-                with self._sp_scope():
+                with self._sp_scope(), self._attn_bwd_scope():
                     self.state, m = self._step_fn(self.state, sharded,
                                                   step_rng)
                 self.global_step += 1

@@ -1,0 +1,207 @@
+"""Fused attention backward (ops/pallas/attention_bwd.py): gradient
+equivalence vs XLA autodiff, primal bit-identity, and dispatcher arming.
+
+Kernel runs under the Pallas interpreter on CPU (same pattern as
+test_pallas_kernels.py); the TPU timing evidence lives in
+tools/abl_attn_bwd.py / ARCHITECTURE.md.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from prompt_tts_tpu.ops import attention as attn_mod
+from prompt_tts_tpu.ops.attention import (
+    _xla_attention, fused_bwd_scope, scaled_dot_product_attention,
+)
+from prompt_tts_tpu.ops.pallas.attention_bwd import attention_fused_bwd
+
+
+def make_qkv(B, Tq, Tk, H, D, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (B, Tq, H, D), dtype)
+    k = jax.random.normal(ks[1], (B, Tk, H, D), dtype)
+    v = jax.random.normal(ks[2], (B, Tk, H, D), dtype)
+    mask = (jax.random.uniform(ks[3], (B, Tk)) > 0.2).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)  # never a fully-masked row
+    bias = jnp.where(mask > 0, 0.0, -1e4)[:, None, None, :]
+    return q, k, v, bias
+
+
+def grads_of(fn, q, k, v, bias, seed=9):
+    w = jax.random.normal(jax.random.PRNGKey(seed),
+                          fn(q, k, v, bias).shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(fn(q, k, v, bias).astype(jnp.float32) * w)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+# (B, Tq, Tk, H, D): block-unaligned lengths, the model's head dims
+SHAPES = [
+    (2, 113, 113, 4, 32),    # one partial q block, D=32 (C=256 level)
+    (2, 129, 57, 2, 64),     # crosses the 128 q-block boundary
+    (1, 48, 96, 3, 96),      # D=96 (C=768 level), Tq != Tk (cross-attn)
+]
+
+
+class TestGradEquivalence:
+    @pytest.mark.parametrize("shape", SHAPES)
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_f32_matches_autodiff(self, shape, with_bias):
+        q, k, v, bias = make_qkv(*shape)
+        bias = bias if with_bias else None
+        ref = grads_of(_xla_attention, q, k, v, bias)
+        with pltpu.force_tpu_interpret_mode():
+            got = grads_of(attention_fused_bwd, q, k, v, bias)
+        for r, g, name in zip(ref, got, "qkv"):
+            np.testing.assert_allclose(
+                g, r, rtol=2e-5, atol=2e-5,
+                err_msg=f"d{name} mismatch at {shape} bias={with_bias}")
+
+    def test_bf16_same_gradient_class(self):
+        q, k, v, bias = make_qkv(2, 113, 57, 4, 32, dtype=jnp.bfloat16)
+        ref = grads_of(_xla_attention, q, k, v, bias)
+        with pltpu.force_tpu_interpret_mode():
+            got = grads_of(attention_fused_bwd, q, k, v, bias)
+        for r, g, name in zip(ref, got, "qkv"):
+            # bf16: the kernel recomputes probs in f32 while autodiff
+            # differentiates the bf16-stored scores — O(bf16 eps) apart
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(r, np.float32),
+                rtol=0.08, atol=0.08, err_msg=f"d{name}")
+
+    def test_fully_padded_keys_get_zero_grad(self):
+        """Keys masked out on every row must receive exactly zero dk/dv."""
+        q, k, v, _ = make_qkv(2, 64, 64, 2, 32)
+        mask = jnp.ones((2, 64)).at[:, 48:].set(0.0)
+        bias = jnp.where(mask > 0, 0.0, -1e9)[:, None, None, :]
+        with pltpu.force_tpu_interpret_mode():
+            _, dk, dv = grads_of(attention_fused_bwd, q, k, v, bias)
+        assert float(jnp.abs(dk[:, 48:]).max()) == 0.0
+        assert float(jnp.abs(dv[:, 48:]).max()) == 0.0
+
+
+class TestPrimal:
+    def test_primal_is_bit_identical_to_xla_path(self):
+        q, k, v, bias = make_qkv(2, 90, 55, 4, 32)
+        a = _xla_attention(q, k, v, bias)
+        b = attention_fused_bwd(q, k, v, bias)
+        assert jnp.array_equal(a, b)
+
+    def test_armed_dispatch_primal_unchanged(self):
+        q, k, v, bias = make_qkv(2, 90, 55, 4, 32)
+        base = scaled_dot_product_attention(q, k, v, bias)
+        with fused_bwd_scope():
+            armed = scaled_dot_product_attention(q, k, v, bias)
+        assert jnp.array_equal(base, armed)
+
+
+class TestArming:
+    def test_scope_restores(self):
+        assert not attn_mod._FUSED_BWD_ARMED[0]
+        with fused_bwd_scope():
+            assert attn_mod._FUSED_BWD_ARMED[0]
+        assert not attn_mod._FUSED_BWD_ARMED[0]
+
+    def test_rich_bias_falls_back(self):
+        q, k, v, _ = make_qkv(2, 32, 32, 2, 32)
+        full_bias = jnp.zeros((2, 2, 32, 32))
+        with fused_bwd_scope():
+            assert not attn_mod._use_fused_bwd(q, k, v, full_bias)
+            assert attn_mod._use_fused_bwd(q, k, v, None)
+
+    def test_min_tq_gate(self):
+        q, k, v, _ = make_qkv(2, 450, 450, 2, 32)
+        q9 = jnp.concatenate([q, q], axis=1)          # Tq = 900
+        with fused_bwd_scope(min_tq=600):
+            assert not attn_mod._use_fused_bwd(q, k, v, None)
+            assert attn_mod._use_fused_bwd(q9, k, v, None)
+        # scope exit restores the unrestricted default
+        with fused_bwd_scope():
+            assert attn_mod._use_fused_bwd(q, k, v, None)
+
+    def test_env_override(self, monkeypatch):
+        q, k, v, _ = make_qkv(2, 32, 32, 2, 32)
+        monkeypatch.setenv("PROMPT_TTS_TPU_ATTN_BWD", "xla")
+        with fused_bwd_scope():
+            assert not attn_mod._use_fused_bwd(q, k, v, None)
+        monkeypatch.setenv("PROMPT_TTS_TPU_ATTN_BWD", "pallas")
+        assert attn_mod._use_fused_bwd(q, k, v, None)
+
+
+class TestShardedDispatch:
+    """Multi-device arming: eligible sites run under shard_map over the
+    mesh's (data, model) axes — batch/head-independent, no collectives —
+    so dp/tp training gets the fused backward too (seq meshes are ring
+    attention's; they must fall back)."""
+
+    def _compare(self, mesh, B, H, Tq=129):
+        # Tq=129 crosses the 128 q-block boundary; the TP cases shrink
+        # to one q-block (Tq=65) — the interpreter cost is per
+        # (shard, q-block, head) and the head-sharding logic under test
+        # is block-count-independent (boundary coverage lives in
+        # test_dp_mesh and TestGradEquivalence)
+        q, k, v, bias = make_qkv(B, Tq, 57, H, 32)
+        ref = grads_of(_xla_attention, q, k, v, bias)
+        with fused_bwd_scope(mesh=mesh), \
+                pltpu.force_tpu_interpret_mode():
+            assert attn_mod._use_fused_bwd(q, k, v, bias)
+            got = grads_of(scaled_dot_product_attention, q, k, v, bias)
+        for r, g, name in zip(ref, got, "qkv"):
+            np.testing.assert_allclose(
+                g, r, rtol=2e-5, atol=2e-5,
+                err_msg=f"d{name} mismatch on mesh {dict(mesh.shape)}")
+
+    def test_dp_mesh(self):
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        self._compare(make_mesh(n_data=8), B=8, H=2)
+
+    def test_dp_tp_mesh(self):
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        self._compare(make_mesh(n_data=4, n_model=2), B=4, H=4, Tq=65)
+
+    def test_tp_indivisible_heads_stay_replicated(self):
+        # model axis 2 with 3 heads: dp sharding alone is still valid
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        self._compare(make_mesh(n_data=4, n_model=2), B=4, H=3, Tq=65)
+
+    def test_seq_mesh_falls_back(self):
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        q, k, v, bias = make_qkv(2, 64, 64, 2, 32)
+        with fused_bwd_scope(mesh=make_mesh(n_data=2, n_seq=4)):
+            assert not attn_mod._use_fused_bwd(q, k, v, bias)
+
+    def test_indivisible_batch_falls_back(self):
+        from prompt_tts_tpu.parallel.mesh import make_mesh
+        q, k, v, bias = make_qkv(3, 64, 64, 2, 32)
+        with fused_bwd_scope(mesh=make_mesh(n_data=8)):
+            assert not attn_mod._use_fused_bwd(q, k, v, bias)
+
+
+class TestInContext:
+    def test_attention_module_grads_match(self):
+        """End-to-end through the model's CrossAttention module: armed
+        dispatch + interpreter kernel vs the default path."""
+        from prompt_tts_tpu.models.layers import Attention
+        B, T, C = 2, 40, 64
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C))
+        mod = Attention(num_heads=2, head_dim=32)
+        params = mod.init(jax.random.PRNGKey(1), x)
+
+        def f_of(p):
+            return jnp.sum(mod.apply(p, x).astype(jnp.float32) ** 2)
+
+        ref = jax.grad(f_of)(params)
+        with fused_bwd_scope(), pltpu.force_tpu_interpret_mode():
+            got = jax.grad(f_of)(params)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(ref),
+                jax.tree_util.tree_leaves_with_path(got)):
+            np.testing.assert_allclose(
+                b, a, rtol=2e-5, atol=2e-5,
+                err_msg=jax.tree_util.keystr(pa))

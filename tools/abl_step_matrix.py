@@ -1,0 +1,92 @@
+"""Decisive train-step matrix: attention backward x optimizer layout.
+
+Round-4 sequencing left two contradictions that only a single clean
+matrix can resolve (all prior numbers from separate runs hours apart):
+
+  * tools/abl_opt_shape.py measured the bucketed optimizer UPDATE at
+    9.5 ms vs 58.0 ms per-leaf, but tools/abl_step_final.py then
+    measured the FULL step slower with bucketing on (282.8 vs 260.9 ms)
+    — the per-leaf overhead may be a standalone-program artifact that
+    the fused step program doesn't pay.
+  * tools/abl_attn_bwd.py measured the Pallas fused attention backward
+    winning only at Tq=900 sites standalone, yet the full step with ALL
+    sites fused + bucketing came out at 245.8 ms.
+
+This runs the full flagship batch-32 bf16 train step under every
+combination of attention backward {xla autodiff, fused all sites,
+fused Tq>=600 only} x optimizer {per-leaf, bucketed}, same process,
+same data, threefry dropout, chained per CLAUDE.md (K-vs-2K scan,
+carry-dependent batch, host read, min of TRIALS).  Every trial value is
+printed so run-to-run noise is visible next to the deltas it could
+explain.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python -u tools/abl_step_matrix.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from prompt_tts_tpu.config import Config
+from prompt_tts_tpu.data import SyntheticDataset
+from prompt_tts_tpu.diffusion.schedule import linear_schedule
+from prompt_tts_tpu.models import TTSSingleSpeaker
+from prompt_tts_tpu.ops.attention import fused_bwd_scope
+from prompt_tts_tpu.train import create_train_state
+from prompt_tts_tpu.train.step import make_train_step
+
+BS = 32
+K = 3
+TRIALS = 3
+
+print("backend:", jax.default_backend(), flush=True)
+cfg = Config()
+model = TTSSingleSpeaker(cfg.model, dtype=jnp.bfloat16)
+data = SyntheticDataset(n=64, frames=cfg.model.sample_size,
+                        max_seq_length=cfg.model.cmu_seq_len)
+batch = {k: jnp.asarray(v) for k, v in next(data.batches(BS)).items()}
+params = jax.jit(model.init)(
+    jax.random.PRNGKey(0), batch["codes"][:1], jnp.zeros((1,), jnp.int32),
+    batch["text_ids"][:1], batch["text_mask"][:1])
+sched = linear_schedule()
+base_rng = jax.random.PRNGKey(7)
+step = make_train_step(model.apply, sched)
+
+# (label, armed, min_tq): 600 keeps only the Tq=900 self/cross sites,
+# the standalone winners; 0 fuses every eligible site
+ATTN = [("xla ", False, 0), ("all ", True, 0), ("long", True, 600)]
+
+
+def time_state_chain(bucketed, armed, min_tq, n):
+    @jax.jit
+    def run(state, b):
+        def body(carry, i):
+            st, _ = carry
+            s2, m = step(st, b, jax.random.fold_in(base_rng, i))
+            return (s2, m["loss"]), None
+        (st, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), jnp.arange(n))
+        return loss
+    state0 = create_train_state(model, params, cfg.train, 1000,
+                                bucketed_opt=bucketed)
+    with fused_bwd_scope(armed, min_tq=min_tq):
+        float(run(state0, batch))         # trace under the arming
+        times = []
+        for trial in range(TRIALS):
+            b2 = dict(batch)
+            b2["codes"] = batch["codes"] * (1.0 + 1e-6 * (trial + 1))
+            t0 = time.perf_counter()
+            float(run(state0, b2))
+            times.append(time.perf_counter() - t0)
+    return times
+
+
+for bucketed in (False, True):
+    for label, armed, min_tq in ATTN:
+        tK = time_state_chain(bucketed, armed, min_tq, K)
+        t2K = time_state_chain(bucketed, armed, min_tq, 2 * K)
+        per = (min(t2K) - min(tK)) / K
+        raw = " ".join(f"{t:.3f}" for t in tK + t2K)
+        print(f"step attn={label} bucketed={bucketed!s:5s}: "
+              f"{per*1e3:7.1f} ms/step   [chains(s): {raw}]", flush=True)
