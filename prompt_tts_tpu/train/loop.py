@@ -260,15 +260,35 @@ class Trainer:
         # older checkpoints have no rng entry; resume still works but the
         # PRNG stream restarts — detect that case explicitly so genuine
         # restore errors (corrupt opt_state etc.) propagate unmasked
-        if self.ckpt.has_item("rng"):
-            self.state, step, rng = self.ckpt.restore(self.state,
-                                                      with_rng=True)
-            if rng is not None:
-                self.rng = rng
-        else:
-            log.warning("checkpoint has no rng entry: resuming with a "
-                        "fresh PRNG stream")
-            self.state, step = self.ckpt.restore(self.state)
+        try:
+            if self.ckpt.has_item("rng"):
+                self.state, step, rng = self.ckpt.restore(self.state,
+                                                          with_rng=True)
+                if rng is not None:
+                    self.rng = rng
+            else:
+                log.warning("checkpoint has no rng entry: resuming with a "
+                            "fresh PRNG stream")
+                self.state, step = self.ckpt.restore(self.state)
+        except Exception as e:
+            # the opt-state pytree layout is part of the checkpoint: a
+            # --bucketed_opt or gradient_accumulation_steps setting that
+            # differs from the saving run changes the tree structure and
+            # surfaces as an opaque orbax structure mismatch — name the
+            # actual knobs instead (sharding/mesh changes are NOT this:
+            # restore is mesh-elastic, see CheckpointManager.restore)
+            msg = str(e)
+            if ("structure" in msg or "tree" in msg or "match" in msg):
+                raise RuntimeError(
+                    "checkpoint optimizer-state layout does not match "
+                    "this run's configuration. The layout depends on "
+                    "--bucketed_opt (stacked vs per-leaf moments) and "
+                    "train.gradient_accumulation_steps (MultiSteps "
+                    "wrapper): set them to the values the checkpoint "
+                    "was saved with, or restore params only "
+                    "(CheckpointManager.restore(params_only=True)) and "
+                    "start a fresh optimizer.") from e
+            raise
         self.global_step = step
         log.info("restored checkpoint at step %d", step)
         return step

@@ -183,6 +183,111 @@ class TestShardedDispatch:
             assert not attn_mod._use_fused_bwd(q, k, v, bias)
 
 
+class TestComposition:
+    """The fused backward must compose with the train step's other
+    features: remat (jax.checkpoint replays the primal; custom_vjp must
+    survive it), gradient accumulation (optax.MultiSteps), and in-program
+    EMA.  Each case diffs the fused arm against XLA autodiff at f32
+    tolerance on a tiny-but-real model."""
+
+    def _tiny(self):
+        from prompt_tts_tpu.config import Config, ModelConfig, TrainConfig
+        mcfg = ModelConfig(
+            block_out_channels=(32, 64), cross_attention_dim=64,
+            attention_head_dim=32, text_encoder_layers=1, cmu_seq_len=32,
+            sample_size=32, layers_per_block=1, unet_num_heads=4,
+            down_block_types=("CrossAttnDownBlock1D", "DownBlock1D"),
+            up_block_types=("UpBlock1D", "CrossAttnUpBlock1D"))
+        return Config(model=mcfg, train=TrainConfig(batch_size=4))
+
+    def _batch(self, cfg, B=4):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        T, S = cfg.model.sample_size, cfg.model.cmu_seq_len
+        mask = np.zeros((B, S), np.float32)
+        for i in range(B):
+            mask[i, : int(rng.integers(S // 2, S))] = 1.0
+        return {
+            "codes": jnp.asarray(
+                rng.uniform(-1, 1, (B, T, cfg.model.in_channels))
+            ).astype(jnp.float32),
+            "text_ids": jnp.asarray(
+                rng.integers(0, 148, (B, S)), jnp.int32) * jnp.asarray(
+                mask, jnp.int32),
+            "text_mask": jnp.asarray(mask),
+        }
+
+    @pytest.mark.parametrize("remat", [False, True])
+    def test_loss_grads_with_remat(self, remat):
+        from prompt_tts_tpu.diffusion.schedule import linear_schedule
+        from prompt_tts_tpu.models import TTSSingleSpeaker
+        from prompt_tts_tpu.train.step import make_loss_fn
+        cfg = self._tiny()
+        model = TTSSingleSpeaker(cfg.model)
+        batch = self._batch(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), batch["codes"][:1],
+            jnp.zeros((1,), jnp.int32), batch["text_ids"][:1],
+            batch["text_mask"][:1])
+        loss_fn = make_loss_fn(model.apply, linear_schedule(), remat=remat)
+        rng = jax.random.PRNGKey(3)
+        ref = jax.grad(loss_fn)(params, batch, rng)
+        with fused_bwd_scope(), pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_fn)(params, batch, rng)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(ref),
+                jax.tree_util.tree_leaves_with_path(got)):
+            np.testing.assert_allclose(
+                b, a, rtol=3e-5, atol=3e-5,
+                err_msg=f"remat={remat} {jax.tree_util.keystr(pa)}")
+
+    def test_accumulation_and_ema_updates_match(self):
+        """Two micro-steps through MultiSteps(2) + EMA: params and
+        ema_params after the optimizer boundary match XLA autodiff."""
+        import dataclasses
+        from prompt_tts_tpu.diffusion.schedule import linear_schedule
+        from prompt_tts_tpu.models import TTSSingleSpeaker
+        from prompt_tts_tpu.train import create_train_state
+        from prompt_tts_tpu.train.step import make_train_step
+        cfg = self._tiny()
+        tcfg = dataclasses.replace(
+            cfg.train, gradient_accumulation_steps=2, ema_decay=0.5,
+            learning_rate=1e-3, lr_warmup_steps=0)
+        model = TTSSingleSpeaker(cfg.model)
+        batch = self._batch(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), batch["codes"][:1],
+            jnp.zeros((1,), jnp.int32), batch["text_ids"][:1],
+            batch["text_mask"][:1])
+        step = make_train_step(model.apply, linear_schedule(),
+                               ema_decay=tcfg.ema_decay)
+
+        def run(armed):
+            st = create_train_state(model, params, tcfg, 100)
+            ctx = fused_bwd_scope() if armed else \
+                __import__("contextlib").nullcontext()
+            with ctx, pltpu.force_tpu_interpret_mode():
+                for i in range(2):
+                    st, _ = step(st, batch,
+                                 jax.random.fold_in(jax.random.PRNGKey(5),
+                                                    i))
+            return st
+
+        a, b = run(False), run(True)
+        for (pa, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(a.params),
+                jax.tree_util.tree_leaves_with_path(b.params)):
+            np.testing.assert_allclose(
+                y, x, rtol=3e-5, atol=3e-5,
+                err_msg=f"params {jax.tree_util.keystr(pa)}")
+        for (pa, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(a.ema_params),
+                jax.tree_util.tree_leaves_with_path(b.ema_params)):
+            np.testing.assert_allclose(
+                y, x, rtol=3e-5, atol=3e-5,
+                err_msg=f"ema {jax.tree_util.keystr(pa)}")
+
+
 class TestInContext:
     def test_attention_module_grads_match(self):
         """End-to-end through the model's CrossAttention module: armed

@@ -154,3 +154,28 @@ class TestTrainerGate:
         with pytest.raises(ValueError, match="TP-compatible"):
             Trainer(cfg, data, log_dir="/tmp/bucketed_gate", n_model=2,
                     bucketed_opt="on")
+
+    def test_layout_mismatch_restore_is_actionable(self, tmp_path):
+        """A checkpoint saved with the bucketed layout must fail restore
+        into a per-leaf run with an error naming --bucketed_opt, not an
+        opaque orbax tree mismatch (the layout is part of the checkpoint;
+        train/loop.py restore_latest)."""
+        from prompt_tts_tpu.config import Config, ModelConfig
+        from prompt_tts_tpu.data import SyntheticDataset
+        from prompt_tts_tpu.train import Trainer
+        mcfg = ModelConfig(
+            block_out_channels=(32, 64), cross_attention_dim=64,
+            attention_head_dim=32, text_encoder_layers=1, cmu_seq_len=32,
+            sample_size=32, layers_per_block=1, unet_num_heads=4,
+            down_block_types=("CrossAttnDownBlock1D", "DownBlock1D"),
+            up_block_types=("UpBlock1D", "CrossAttnUpBlock1D"))
+        cfg = Config(model=mcfg, train=TrainConfig(batch_size=4))
+        data = SyntheticDataset(n=4, frames=32, max_seq_length=32)
+        a = Trainer(cfg, data, log_dir=str(tmp_path / "log"),
+                    ckpt_dir=str(tmp_path / "ckpt"), bucketed_opt="on")
+        assert a.ckpt.save(a.state, step=0, force=True, rng=a.rng)
+        a.ckpt.wait()
+        b = Trainer(cfg, data, log_dir=str(tmp_path / "log2"),
+                    ckpt_dir=str(tmp_path / "ckpt"), bucketed_opt="off")
+        with pytest.raises(RuntimeError, match="bucketed_opt"):
+            b.restore_latest()
