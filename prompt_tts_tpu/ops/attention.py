@@ -51,6 +51,14 @@ def disable_fused_bwd() -> None:
 
 @contextmanager
 def fused_bwd_scope(enabled: bool = True, min_tq: int = 0, mesh=None):
+    """Arm/disarm the fused attention backward for traces INSIDE this
+    scope.  Trace-cache caveat (like parallel.sp): the arming is consulted
+    at trace time but is not part of any jit cache key — a function traced
+    while armed keeps the fused backward for identical shapes after the
+    scope exits (and vice versa).  The Trainer always (re-)enters the
+    scope around its step calls so production programs are consistent;
+    interactive/test code that flips the arming must use fresh functions
+    (or call ``.clear_cache()``) to avoid a stale path."""
     prev = (_FUSED_BWD_ARMED[0], _FUSED_BWD_MIN_TQ[0], _FUSED_BWD_MESH[0])
     _FUSED_BWD_ARMED[0] = enabled
     _FUSED_BWD_MIN_TQ[0] = min_tq
@@ -152,9 +160,15 @@ def _use_fused_bwd(q, k, v, bias) -> bool:
             return False          # SP owns attention on seq meshes
         if B % mesh.shape[DATA_AXIS]:
             return False
-    # VMEM budget: the kernel keeps full K/V panels (+ f32 dk/dv blocks)
-    # resident per batch row
-    return Tk <= 4096 and D <= 128
+    # VMEM budget: the kernel keeps full [Tk_p, H*D] K/V panels at the
+    # input dtype plus two f32 dk/dv accumulator blocks resident per
+    # batch row — gate on the actual byte footprint, not Tk alone (a
+    # wide-head config can blow VMEM at modest Tk; r4 advisor finding).
+    # 12 MiB leaves headroom under the ~16 MiB/core budget for the
+    # q/do/o/dq blocks and double-buffering.
+    tk_p = -(-Tk // 128) * 128
+    kv_bytes = tk_p * H * D * (2 * q.dtype.itemsize + 2 * 4)
+    return kv_bytes <= 12 * 2**20 and D <= 128
 
 
 def _fused_bwd_call(q, k, v, bias):

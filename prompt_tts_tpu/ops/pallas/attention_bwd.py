@@ -35,8 +35,13 @@ path matches autodiff to f32-reorder tolerance
 
 Gradient identities (p = softmax(s), s = q k^T * scale + bias,
 o = p v):  delta = rowsum(do * o);  dv = p^T do;
-ds = p * (do v^T - delta) * scale;  dq = ds k;  dk = ds^T q.
-The key-only bias is a constant mask — its gradient is not materialized.
+ds_raw = p * (do v^T - delta);  dq = ds_raw k * scale;
+dk = ds_raw^T q * scale;  dbias = sum_{heads, q rows} ds_raw (reduced
+onto the bias's broadcast [B, 1, 1, Tk] shape).  Every call site today
+derives the bias from a constant input mask, but the kernel returns the
+REAL dbias anyway so a future param-derived key bias of the same shape
+trains correctly instead of silently receiving zeros (round-4 advisor
+finding).
 """
 
 import functools
@@ -54,15 +59,16 @@ _NEG = -1e9        # additive mask for padded keys
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
-                     dq_ref, dk_ref, dv_ref, *, num_heads, scale):
+                     dq_ref, dk_ref, dv_ref, db_ref, *, num_heads, scale):
     iq = pl.program_id(1)
 
     @pl.when(iq == 0)
     def _init():
-        # dk/dv blocks are revisited across the (inner) q-block grid dim
-        # and accumulate in f32 while VMEM-resident
+        # dk/dv/dbias blocks are revisited across the (inner) q-block
+        # grid dim and accumulate in f32 while VMEM-resident
         dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
     q = q_ref[0]                                  # [BQ, HD]
     k = k_ref[0]                                  # [Tk, HD]
@@ -96,7 +102,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
         dp = jax.lax.dot_general(
             doh, vh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # [BQ, Tk]
-        ds = (pn * (dp - delta) * scale).astype(q.dtype)
+        ds_raw = pn * (dp - delta)                            # = dL/ds
+        # dbias: the [B,1,1,Tk] bias broadcasts over heads and q rows,
+        # so its cotangent is ds_raw reduced over both (padded q rows
+        # have do == 0 => ds_raw == 0: inert)
+        db_ref[0, 0, :] += jnp.sum(ds_raw, axis=0).astype(db_ref.dtype)
+        ds = (ds_raw * scale).astype(q.dtype)
         dq_heads.append(jax.lax.dot_general(
             ds, kh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))              # [BQ, D]
@@ -137,7 +148,7 @@ def _bwd_impl(q, k, v, key_bias, o, do) -> Tuple[jnp.ndarray, ...]:
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, Tk_p, HD), lambda b, iq: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
+    dq, dk, dv, db = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -150,11 +161,14 @@ def _bwd_impl(q, k, v, key_bias, o, do) -> Tuple[jnp.ndarray, ...]:
             pl.BlockSpec((1, _BQ, HD), lambda b, iq: (b, iq, 0),
                          memory_space=pltpu.VMEM),
             kv_spec, kv_spec,
+            pl.BlockSpec((1, 1, Tk_p), lambda b, iq: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Tq_p, HD), jnp.float32),
             jax.ShapeDtypeStruct((B, Tk_p, HD), jnp.float32),
             jax.ShapeDtypeStruct((B, Tk_p, HD), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Tk_p), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * Tq_p * Tk_p * D,   # 5 matmuls
@@ -167,7 +181,8 @@ def _bwd_impl(q, k, v, key_bias, o, do) -> Tuple[jnp.ndarray, ...]:
     dq = dq[:, :Tq].reshape(B, Tq, H, D).astype(q.dtype)
     dk = dk[:, :Tk].reshape(B, Tk, H, D).astype(k.dtype)
     dv = dv[:, :Tk].reshape(B, Tk, H, D).astype(v.dtype)
-    return dq, dk, dv
+    db = db[:, 0, :Tk]                                # [B, Tk] f32
+    return dq, dk, dv, db
 
 
 def _xla_primal(q, k, v, bias):
@@ -182,8 +197,11 @@ def _xla_primal(q, k, v, bias):
 @jax.custom_vjp
 def attention_fused_bwd(q, k, v, bias):
     """XLA forward + Pallas fused backward; ``bias`` is the dispatcher's
-    key-only additive mask ``[B, 1, 1, Tk]`` (or None) and receives no
-    gradient (it is a constant mask on every call site)."""
+    key-only additive mask ``[B, 1, 1, Tk]`` (or None).  It DOES receive
+    its real gradient (ds reduced over heads/q rows) — today every call
+    site derives it from a constant input mask so the cotangent dies at
+    the mask boundary, but a param-derived bias of the same shape would
+    train correctly."""
     return _xla_primal(q, k, v, bias)
 
 
@@ -196,8 +214,10 @@ def _bwd(res, g):
     q, k, v, bias, o = res
     key_bias = None if bias is None else bias.reshape(
         bias.shape[0], bias.shape[-1])
-    dq, dk, dv = _bwd_impl(q, k, v, key_bias, o, g)
-    return dq, dk, dv, None
+    dq, dk, dv, db = _bwd_impl(q, k, v, key_bias, o, g)
+    dbias = None if bias is None else db.astype(bias.dtype).reshape(
+        bias.shape)
+    return dq, dk, dv, dbias
 
 
 attention_fused_bwd.defvjp(_fwd, _bwd)

@@ -75,6 +75,24 @@ class TestGradEquivalence:
                 np.asarray(g, np.float32), np.asarray(r, np.float32),
                 rtol=0.08, atol=0.08, err_msg=f"d{name}")
 
+    @pytest.mark.parametrize("shape", SHAPES)
+    def test_bias_gradient_matches_autodiff(self, shape):
+        """The [B,1,1,Tk] bias receives its REAL cotangent (ds reduced
+        over heads/q rows), not a silent zero (r4 advisor finding)."""
+        q, k, v, bias = make_qkv(*shape)
+        w = jax.random.normal(jax.random.PRNGKey(9),
+                              _xla_attention(q, k, v, bias).shape)
+
+        def loss_of(fn):
+            return lambda b: jnp.sum(
+                fn(q, k, v, b).astype(jnp.float32) * w)
+
+        ref = jax.grad(loss_of(_xla_attention))(bias)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_of(attention_fused_bwd))(bias)
+        assert float(jnp.abs(ref).max()) > 0  # the test has teeth
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
     def test_fully_padded_keys_get_zero_grad(self):
         """Keys masked out on every row must receive exactly zero dk/dv."""
         q, k, v, _ = make_qkv(2, 64, 64, 2, 32)
@@ -124,6 +142,25 @@ class TestArming:
         # scope exit restores the unrestricted default
         with fused_bwd_scope():
             assert attn_mod._use_fused_bwd(q, k, v, None)
+
+    def test_vmem_gate_is_byte_budget(self):
+        """The eligibility gate bounds the kernel's actual resident
+        bytes (K/V panels + f32 dk/dv accumulators), not Tk alone: a
+        wide-head config at modest Tk must fall back (r4 advisor
+        finding), while the flagship shapes stay eligible."""
+        mk = lambda Tk, H, D, dt: tuple(
+            jnp.zeros(s, dt) for s in [(2, 128, H, D)] + [(2, Tk, H, D)] * 2)
+        with fused_bwd_scope():
+            # flagship-class: Tk=900, H*D=768 bf16 -> ~9.4 MiB: eligible
+            q, k, v = mk(900, 8, 96, jnp.bfloat16)
+            assert attn_mod._use_fused_bwd(q, k, v, None)
+            # wide heads: Tk=4096, H*D=1024 bf16 -> ~48 MiB: fall back
+            q, k, v = mk(4096, 8, 128, jnp.bfloat16)
+            assert not attn_mod._use_fused_bwd(q, k, v, None)
+            # f32 doubles the panel bytes: Tk=2048, H*D=768 f32 ->
+            # ~24 MiB: fall back
+            q, k, v = mk(2048, 8, 96, jnp.float32)
+            assert not attn_mod._use_fused_bwd(q, k, v, None)
 
     def test_env_override(self, monkeypatch):
         q, k, v, _ = make_qkv(2, 32, 32, 2, 32)
@@ -266,26 +303,54 @@ class TestComposition:
             st = create_train_state(model, params, tcfg, 100)
             ctx = fused_bwd_scope() if armed else \
                 __import__("contextlib").nullcontext()
+            acc = None
             with ctx, pltpu.force_tpu_interpret_mode():
                 for i in range(2):
                     st, _ = step(st, batch,
                                  jax.random.fold_in(jax.random.PRNGKey(5),
                                                     i))
-            return st
+                    if i == 0:   # mid-accumulation: grads parked, no
+                        acc = st.opt_state.acc_grads   # update applied
+            return st, acc
 
-        a, b = run(False), run(True)
+        (a, acc_a), (b, acc_b) = run(False), run(True)
+        # tight contract: the ACCUMULATED grads entering the boundary
+        # match (per-call grads agree to ~2e-5; MultiSteps just averages)
+        for (pa, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(acc_a),
+                jax.tree_util.tree_leaves_with_path(acc_b)):
+            np.testing.assert_allclose(
+                y, x, rtol=3e-5, atol=3e-5,
+                err_msg=f"acc_grads {jax.tree_util.keystr(pa)}")
+        # The TIGHT composition contract is the accumulated gradient at
+        # the MultiSteps boundary (grads agree per call to ~2e-5, and
+        # accumulation is a mean).  Comparing post-Adam PARAMS tightly is
+        # ill-conditioned by construction: after one boundary the update
+        # is lr*g/(|g|+eps) ~ lr*sign(g), so a ~1e-8 gradient difference
+        # on a near-zero component legitimately flips a +-lr update —
+        # observed flaking at any fixed tolerance below lr (r4/r5).  The
+        # trajectory-level evidence for the default path lives in the
+        # on-chip A/B (tools/traj_ab_tpu.py, BENCHMARKS "Training
+        # parity"), where loss curves — insensitive to near-zero-grad
+        # sign flips — are compared over hundreds of steps.
+        lr = tcfg.learning_rate
         for (pa, x), (_, y) in zip(
                 jax.tree_util.tree_leaves_with_path(a.params),
                 jax.tree_util.tree_leaves_with_path(b.params)):
             np.testing.assert_allclose(
-                y, x, rtol=3e-5, atol=3e-5,
+                y, x, rtol=0, atol=2.1 * lr,  # one boundary: |du| <= lr
                 err_msg=f"params {jax.tree_util.keystr(pa)}")
-        for (pa, x), (_, y) in zip(
-                jax.tree_util.tree_leaves_with_path(a.ema_params),
-                jax.tree_util.tree_leaves_with_path(b.ema_params)):
-            np.testing.assert_allclose(
-                y, x, rtol=3e-5, atol=3e-5,
-                err_msg=f"ema {jax.tree_util.keystr(pa)}")
+        # EMA correctness is exact WITHIN each run: after one boundary,
+        # ema = decay*init + (1-decay)*params (lerp in f32)
+        for st in (a, b):
+            expect = jax.tree.map(
+                lambda p0, p1: 0.5 * p0 + 0.5 * p1, params, st.params)
+            for (pa, x), (_, y) in zip(
+                    jax.tree_util.tree_leaves_with_path(expect),
+                    jax.tree_util.tree_leaves_with_path(st.ema_params)):
+                np.testing.assert_allclose(
+                    y, x, rtol=1e-6, atol=1e-7,
+                    err_msg=f"ema {jax.tree_util.keystr(pa)}")
 
 
 class TestInContext:
