@@ -35,6 +35,13 @@ def parse_args(argv=None):
                         "axis. Latent time is sharded over it (ring "
                         "attention for self-attn, GSPMD halo exchange for "
                         "convs); longer-audio regimes than one chip holds.")
+    p.add_argument("--log_every", type=int, default=0,
+                   help="Pull loss/grad_norm to the host (and NaN-guard "
+                        "them) every N steps. Each pull is a blocking "
+                        "device sync; between pulls steps enqueue "
+                        "asynchronously and the input pipeline overlaps "
+                        "device compute. 0 = auto (50 on TPU, 1 "
+                        "elsewhere).")
     p.add_argument("--eval_every", type=int, default=0,
                    help="Run a deterministic eval pass (Loss/eval) every "
                         "N epochs (0 = never).")
@@ -55,15 +62,19 @@ def parse_args(argv=None):
                    help="bfloat16 compute (params stay f32).")
     p.add_argument("--remat", action="store_true",
                    help="Activation rematerialization (jax.checkpoint).")
-    p.add_argument("--bucketed_opt", choices=("auto", "on", "off"),
+    p.add_argument("--bucketed_opt",
+                   choices=("auto", "on", "off", "stacked"),
                    default="auto",
-                   help="Shape-bucketed optimizer update (train/"
-                        "bucketed.py). Wins standalone (58.0 -> 9.5 ms) "
-                        "but LOSES inside the fused step program "
-                        "(tools/abl_step_matrix.py), so auto = off. "
-                        "Not TP-compatible. The optimizer-state layout "
-                        "is part of the checkpoint: keep it consistent "
-                        "across save/restore.")
+                   help="Optimizer layout. 'on': shape-bucketed update "
+                        "with per-step copies (train/bucketed.py) — wins "
+                        "standalone (58.0 -> 9.5 ms) but LOSES inside "
+                        "the fused step program, so auto = off; its "
+                        "layout is part of the checkpoint. 'stacked': "
+                        "params AND moments live natively bucketed "
+                        "across steps — no per-step copies "
+                        "(train/stacked.py); checkpoints stay canonical "
+                        "per-leaf, so restore works across layouts. "
+                        "Neither is TP-compatible.")
     p.add_argument("--fused_attn_bwd", choices=("auto", "on", "off"),
                    default="auto",
                    help="Pallas fused attention backward (forward and "
@@ -208,6 +219,7 @@ def main(argv=None):
         dropout_rng_impl=args.dropout_rng,
         bucketed_opt=args.bucketed_opt,
         fused_attn_bwd=args.fused_attn_bwd,
+        log_every=args.log_every,
     )
     if args.resume:
         trainer.restore_latest()

@@ -57,6 +57,7 @@ class Trainer:
         dropout_rng_impl: str = "threefry",
         bucketed_opt: str = "auto",
         fused_attn_bwd: str = "auto",
+        log_every: int = 0,
     ):
         # profile_steps > 0: capture a jax.profiler trace of that many steps
         # into <log_dir>/xprof (view with xprof/tensorboard-profile; note:
@@ -75,6 +76,15 @@ class Trainer:
         # must match the model's own init tree exactly. Optimizer state
         # starts fresh, as the reference's train.py would after its own
         # (absent) restore.
+        # log_every: pull loss/grad_norm to the host (and NaN-guard them)
+        # every N steps instead of every step.  0 = auto: 50 on TPU, 1
+        # elsewhere.  Pulling a metric value is a blocking device sync —
+        # per-step it serializes the host behind every step (and through
+        # a tunneled dev chip costs more than the step itself), defeating
+        # async dispatch; on the cadence, steps enqueue back-to-back and
+        # the host input pipeline overlaps device compute.  The reference
+        # logs its gathered loss every micro-step (train.py:110-113) —
+        # semantics kept, cadence made a knob.
         # per_process_data (multihost only): each process loads/collates
         # only its 1/P row slice of every global batch (datasets'
         # ``process_shard``) and shard_local_batch assembles the global
@@ -82,6 +92,10 @@ class Trainer:
         # host replicating the full batch.
         self.profile_steps = profile_steps
         self.eval_every = eval_every
+        if log_every < 0:
+            raise ValueError(f"log_every must be >= 0, got {log_every}")
+        self.log_every = log_every or (
+            50 if jax.default_backend() == "tpu" else 1)
         self.eval_dataset = eval_dataset
         self.config = config
         self.dataset = dataset
@@ -158,17 +172,30 @@ class Trainer:
             or (fused_attn_bwd == "auto"
                 and jax.default_backend() == "tpu"
                 and n_seq == 1))
-        if bucketed_opt not in ("auto", "on", "off"):
-            raise ValueError(f"bucketed_opt must be auto/on/off, "
+        if bucketed_opt not in ("auto", "on", "off", "stacked"):
+            raise ValueError(f"bucketed_opt must be auto/on/off/stacked, "
                              f"got {bucketed_opt!r}")
         use_buckets = bucketed_opt == "on"
-        if bucketed_opt == "on" and self.mesh.shape[MODEL_AXIS] > 1:
-            raise ValueError("bucketed_opt is not TP-compatible: stacked "
-                             "optimizer moments cannot be sharded "
-                             "per-leaf over the model axis")
+        if (bucketed_opt in ("on", "stacked")
+                and self.mesh.shape[MODEL_AXIS] > 1):
+            raise ValueError(f"bucketed_opt={bucketed_opt!r} is not "
+                             "TP-compatible: stacked optimizer moments "
+                             "cannot be sharded per-leaf over the model "
+                             "axis")
+        # "stacked": params AND moments live shape-bucketed across steps
+        # (train/stacked.py) — no per-step bucketing copies; checkpoints
+        # stay canonical per-leaf (converted at the save/restore boundary
+        # below), so unlike "on" the layout is not part of the checkpoint.
+        self._stacked_plan = None
+        if bucketed_opt == "stacked":
+            from prompt_tts_tpu.train.stacked import StackedPlan
+            from prompt_tts_tpu.train.state import decay_mask
+            self._stacked_plan = StackedPlan(params, decay_mask(params))
         self.state = create_train_state(
             self.model, params, tcfg, self.num_training_steps,
-            bucketed_opt=use_buckets)
+            bucketed_opt=use_buckets, stacked_plan=self._stacked_plan)
+        # the step/eval apply: unstacks stacked params at trace time
+        self._apply = self.state.apply_fn
 
         if self.mesh.shape[MODEL_AXIS] > 1:
             self._state_sharding = state_shardings(self.state, self.mesh)
@@ -197,7 +224,7 @@ class Trainer:
                 if hasattr(peek, "close"):
                     peek.close()
         self._step_fn = jit_train_step(
-            make_train_step(self.model.apply, self.schedule, remat=remat,
+            make_train_step(self._apply, self.schedule, remat=remat,
                             cond_dropout_prob=tcfg.cond_dropout_prob,
                             ema_decay=tcfg.ema_decay,
                             dropout_rng_impl=dropout_rng_impl),
@@ -254,22 +281,56 @@ class Trainer:
         mesh = self.mesh if self.mesh.devices.size > 1 else None
         return fused_bwd_scope(mesh=mesh)
 
+    def _ckpt_state(self):
+        """The state in CHECKPOINT (canonical per-leaf) layout.
+
+        The natively-stacked optimizer keeps params/EMA/moments bucketed
+        on device; checkpoints stay canonical so they restore under any
+        optimizer layout (train/stacked.py module docstring). Identity
+        for every other layout (``bucketed_opt=on`` keeps its stacked
+        moments in the checkpoint — that legacy coupling is documented
+        on the flag)."""
+        if self._stacked_plan is None:
+            return self.state
+        plan = self._stacked_plan
+        return self.state.replace(
+            params=plan.unstack_tree(self.state.params),
+            ema_params=(None if self.state.ema_params is None
+                        else plan.unstack_tree(self.state.ema_params)),
+            opt_state=plan.canonicalize(self.state.opt_state),
+        )
+
+    def _adopt_ckpt_state(self, restored):
+        """Inverse of :meth:`_ckpt_state`: restored canonical state ->
+        this trainer's resident layout."""
+        if self._stacked_plan is None:
+            return restored
+        plan = self._stacked_plan
+        return restored.replace(
+            params=plan.stack_tree(restored.params),
+            ema_params=(None if restored.ema_params is None
+                        else plan.stack_tree(restored.ema_params)),
+            opt_state=plan.stack_subtrees(restored.opt_state),
+        )
+
     def restore_latest(self) -> Optional[int]:
         if self.ckpt is None or self.ckpt.latest_step() is None:
             return None
         # older checkpoints have no rng entry; resume still works but the
         # PRNG stream restarts — detect that case explicitly so genuine
         # restore errors (corrupt opt_state etc.) propagate unmasked
+        template = self._ckpt_state()
         try:
             if self.ckpt.has_item("rng"):
-                self.state, step, rng = self.ckpt.restore(self.state,
-                                                          with_rng=True)
+                restored, step, rng = self.ckpt.restore(template,
+                                                        with_rng=True)
                 if rng is not None:
                     self.rng = rng
             else:
                 log.warning("checkpoint has no rng entry: resuming with a "
                             "fresh PRNG stream")
-                self.state, step = self.ckpt.restore(self.state)
+                restored, step = self.ckpt.restore(template)
+            self.state = self._adopt_ckpt_state(restored)
         except Exception as e:
             # the opt-state pytree layout is part of the checkpoint: a
             # --bucketed_opt or gradient_accumulation_steps setting that
@@ -279,12 +340,18 @@ class Trainer:
             # restore is mesh-elastic, see CheckpointManager.restore)
             msg = str(e)
             if ("structure" in msg or "tree" in msg or "match" in msg):
+                # phrased as a HINT, not a diagnosis: the keyword match
+                # is heuristic and unrelated failures (e.g. orbax shape/
+                # checksum errors mentioning "mismatch") can land here —
+                # the original exception is chained below either way
                 raise RuntimeError(
-                    "checkpoint optimizer-state layout does not match "
-                    "this run's configuration. The layout depends on "
+                    "checkpoint restore failed (original error chained "
+                    "below). If it is a pytree-STRUCTURE mismatch, this "
+                    "usually means the optimizer-state layout differs "
+                    "from the saving run: the layout depends on "
                     "--bucketed_opt (stacked vs per-leaf moments) and "
                     "train.gradient_accumulation_steps (MultiSteps "
-                    "wrapper): set them to the values the checkpoint "
+                    "wrapper) — set them to the values the checkpoint "
                     "was saved with, or restore params only "
                     "(CheckpointManager.restore(params_only=True)) and "
                     "start a fresh optimizer.") from e
@@ -301,7 +368,8 @@ class Trainer:
             if self.ckpt is not None:
                 log.warning("interrupted: saving checkpoint at step %d",
                             self.global_step)
-                self.ckpt.save(self.state, step=self.global_step, force=True, rng=self.rng)
+                self.ckpt.save(self._ckpt_state(), step=self.global_step,
+                               force=True, rng=self.rng)
                 self.ckpt.wait()
             raise
 
@@ -316,9 +384,11 @@ class Trainer:
             log.info("nothing to do: already at epoch %d of %d "
                      "(use --epochs to extend)", start_epoch, epochs)
             return last_loss
+        self._tput_mark = None
         for epoch in range(start_epoch, epochs):
             log.info("Starting epoch %d", epoch)
             t_epoch = time.time()
+            pending = None
             for batch in self.dataset.batches(
                     tcfg.batch_size, shuffle=True, seed=tcfg.seed + epoch,
                     process_shard=self._pshard):
@@ -338,15 +408,15 @@ class Trainer:
                     jax.block_until_ready(m["loss"])
                     jax.profiler.stop_trace()
                     log.info("profiler trace written")
-                last_loss = float(m["loss"])
-                metrics_now = {"loss": last_loss,
-                               "grad_norm": float(m["grad_norm"])}
-                finite_or_warn(metrics_now, self.global_step, log)
-                self.metrics.add_scalar("Loss/train", last_loss,
-                                        self.global_step)
-                self.metrics.add_scalar("grad_norm",
-                                        metrics_now["grad_norm"],
-                                        self.global_step)
+                # steps between cadence points only ENQUEUE: no host
+                # read, no sync — the loop runs ahead of the device and
+                # the next batch's collate overlaps this step's compute
+                pending = m
+                if self.global_step % self.log_every == 0:
+                    last_loss = self._pull_metrics(m)
+                    pending = None
+            if pending is not None:  # epoch tail between cadence points
+                last_loss = self._pull_metrics(pending)
             self.metrics.add_scalar("epoch_time_s", time.time() - t_epoch,
                                     self.global_step)
             if self.eval_every and (epoch + 1) % self.eval_every == 0:
@@ -355,11 +425,43 @@ class Trainer:
             if self.ckpt is not None and (
                     epoch % tcfg.save_per_epochs == 0
                     or epoch == epochs - 1):
-                self.ckpt.save(self.state, step=self.global_step, force=True, rng=self.rng)
+                self.ckpt.save(self._ckpt_state(), step=self.global_step,
+                               force=True, rng=self.rng)
             self.metrics.flush()
         if self.ckpt is not None:
             self.ckpt.wait()
         return last_loss
+
+    def _pull_metrics(self, m) -> float:
+        """Blocking pull of one step's metrics to the host (THE device
+        sync of the training loop — runs on the log_every cadence).
+
+        Logs loss/grad_norm at this step, NaN-guards them, and logs
+        trainer throughput over the synced interval: the pull blocks
+        until this step's program actually ran, so elapsed/steps since
+        the previous pull is honest end-to-end trainer time (host input
+        pipeline + dispatch + device compute), not a device-only number.
+        """
+        loss = float(m["loss"])
+        now = time.time()
+        metrics_now = {"loss": loss, "grad_norm": float(m["grad_norm"])}
+        finite_or_warn(metrics_now, self.global_step, log)
+        self.metrics.add_scalar("Loss/train", loss, self.global_step)
+        self.metrics.add_scalar("grad_norm", metrics_now["grad_norm"],
+                                self.global_step)
+        if self._tput_mark is not None:
+            t0, s0 = self._tput_mark
+            steps = self.global_step - s0
+            if steps > 0 and now > t0:
+                exs = steps * self.config.train.batch_size / (now - t0)
+                self.metrics.add_scalar("examples_per_s", exs,
+                                        self.global_step)
+                log.info("step %d: loss %.5f, %.1f examples/s",
+                         self.global_step, loss, exs)
+        # note: the FIRST interval of a run includes compile; read
+        # steady-state throughput from the second cadence point onward
+        self._tput_mark = (now, self.global_step)
+        return loss
 
     def evaluate(self, dataset=None, seed: int = 0) -> float:
         """Mean deterministic eval loss over a dataset (default: train set).
@@ -371,7 +473,7 @@ class Trainer:
         tcfg = self.config.train
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = jax.jit(
-                make_eval_step(self.model.apply, self.schedule))
+                make_eval_step(self._apply, self.schedule))
         total, n = 0.0, 0
         for i, batch in enumerate(dataset.batches(
                 tcfg.batch_size, process_shard=self._pshard)):

@@ -239,6 +239,36 @@ class TestTrainerAndCheckpoint:
         assert "Loss/train" in metrics
 
 
+class TestMetricsCadence:
+    def test_log_every_pulls_on_cadence_and_epoch_tail(self, synth_data,
+                                                       tmp_path):
+        """log_every=N: loss is pulled/logged only at step % N == 0 and at
+        each epoch tail (so no step's metrics are silently dropped);
+        between pulls steps only enqueue — no host sync. Throughput
+        (examples_per_s) appears from the second pull onward."""
+        import json
+        cfg = tiny_config(num_train_epochs=3)  # 2 steps/epoch (n=16, b=8)
+        trainer = Trainer(cfg, synth_data, log_dir=str(tmp_path / "logs"),
+                          log_every=3)
+        loss = trainer.train()
+        assert np.isfinite(loss)
+        rows = [json.loads(l) for l in
+                (tmp_path / "logs" / "metrics.jsonl").read_text()
+                .splitlines()]
+        loss_steps = [r["step"] for r in rows if r["tag"] == "Loss/train"]
+        # steps 3, 6 are cadence points; steps 2, 4 are epoch tails;
+        # steps 1 and 5 must NOT have forced a pull
+        assert loss_steps == [2, 3, 4, 6]
+        tput_steps = [r["step"] for r in rows
+                      if r["tag"] == "examples_per_s"]
+        assert tput_steps == loss_steps[1:]  # first pull has no interval
+
+    def test_log_every_rejects_negative(self, synth_data, tmp_path):
+        with pytest.raises(ValueError, match="log_every"):
+            Trainer(tiny_config(), synth_data,
+                    log_dir=str(tmp_path / "logs"), log_every=-1)
+
+
 class TestTrainerTPAndEval:
     def test_trainer_tp_from_user_surface(self, synth_data, tmp_path):
         """Trainer(n_model=2) — the cli/train.py --tp path — trains with

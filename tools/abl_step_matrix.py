@@ -20,9 +20,17 @@ carry-dependent batch, host read, min of TRIALS).  Every trial value is
 printed so run-to-run noise is visible next to the deltas it could
 explain.
 
+Round 5 adds the ``stacked`` optimizer layout (train/stacked.py): params
+AND moments live natively bucketed across steps, so there are no
+per-step to/from-bucket copies at all — the exact variant the round-4
+matrix's own root-cause analysis pointed at (the copies serialize; the
+stacked math itself is the 9.5 ms regime).
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u tools/abl_step_matrix.py
+     [--layouts per_leaf,bucketed,stacked] [--attn xla,all,long]
 """
 
+import argparse
 import time
 
 import jax
@@ -34,11 +42,20 @@ from prompt_tts_tpu.diffusion.schedule import linear_schedule
 from prompt_tts_tpu.models import TTSSingleSpeaker
 from prompt_tts_tpu.ops.attention import fused_bwd_scope
 from prompt_tts_tpu.train import create_train_state
+from prompt_tts_tpu.train.stacked import StackedPlan
+from prompt_tts_tpu.train.state import decay_mask
 from prompt_tts_tpu.train.step import make_train_step
 
 BS = 32
 K = 3
 TRIALS = 3
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--layouts", default="per_leaf,bucketed",
+                help="comma list of per_leaf,bucketed,stacked")
+ap.add_argument("--attn", default="xla,all,long",
+                help="comma list of xla,all,long")
+args = ap.parse_args()
 
 print("backend:", jax.default_backend(), flush=True)
 cfg = Config()
@@ -51,14 +68,26 @@ params = jax.jit(model.init)(
     batch["text_ids"][:1], batch["text_mask"][:1])
 sched = linear_schedule()
 base_rng = jax.random.PRNGKey(7)
-step = make_train_step(model.apply, sched)
 
 # (label, armed, min_tq): 600 keeps only the Tq=900 self/cross sites,
 # the standalone winners; 0 fuses every eligible site
-ATTN = [("xla ", False, 0), ("all ", True, 0), ("long", True, 600)]
+ATTN_ALL = {"xla": ("xla ", False, 0), "all": ("all ", True, 0),
+            "long": ("long", True, 600)}
 
 
-def time_state_chain(bucketed, armed, min_tq, n):
+def build_layout(layout):
+    """(train_step, make_state) for an optimizer layout."""
+    if layout == "stacked":
+        plan = StackedPlan(params, decay_mask(params))
+        step = make_train_step(plan.wrap_apply(model.apply), sched)
+        return step, lambda: create_train_state(
+            model, params, cfg.train, 1000, stacked_plan=plan)
+    step = make_train_step(model.apply, sched)
+    return step, lambda: create_train_state(
+        model, params, cfg.train, 1000, bucketed_opt=layout == "bucketed")
+
+
+def time_state_chain(step, make_state, armed, min_tq, n):
     @jax.jit
     def run(state, b):
         def body(carry, i):
@@ -68,8 +97,7 @@ def time_state_chain(bucketed, armed, min_tq, n):
         (st, loss), _ = jax.lax.scan(
             body, (state, jnp.float32(0.0)), jnp.arange(n))
         return loss
-    state0 = create_train_state(model, params, cfg.train, 1000,
-                                bucketed_opt=bucketed)
+    state0 = make_state()
     with fused_bwd_scope(armed, min_tq=min_tq):
         float(run(state0, batch))         # trace under the arming
         times = []
@@ -82,11 +110,13 @@ def time_state_chain(bucketed, armed, min_tq, n):
     return times
 
 
-for bucketed in (False, True):
-    for label, armed, min_tq in ATTN:
-        tK = time_state_chain(bucketed, armed, min_tq, K)
-        t2K = time_state_chain(bucketed, armed, min_tq, 2 * K)
+for layout in args.layouts.split(","):
+    step, make_state = build_layout(layout)
+    for key in args.attn.split(","):
+        label, armed, min_tq = ATTN_ALL[key]
+        tK = time_state_chain(step, make_state, armed, min_tq, K)
+        t2K = time_state_chain(step, make_state, armed, min_tq, 2 * K)
         per = (min(t2K) - min(tK)) / K
         raw = " ".join(f"{t:.3f}" for t in tK + t2K)
-        print(f"step attn={label} bucketed={bucketed!s:5s}: "
+        print(f"step attn={label} opt={layout:8s}: "
               f"{per*1e3:7.1f} ms/step   [chains(s): {raw}]", flush=True)
