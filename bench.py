@@ -22,13 +22,19 @@ hitting ~96% of v5e bf16 peak):
     calls can be served from a cache, so the round-1 per-call timings
     were unreliable; the chained-difference number is the device-program
     throughput and is comparable across rounds.
-  * rtf_with_host_transfers — every call pulls the 9 MB audio batch to
-    the host (serving-style; includes this harness's ~25-30 ms RPC floor,
-    so it UNDERSTATES what a production host would see).  Since r4 the
-    JSON also carries a per-call decomposition (dispatch / pull / chained
-    device time / residual overhead, median across the 5 calls) so a
-    round-over-round swing in THIS metric is attributable on sight —
-    device_ms moved = real regression; overhead moved = relay floor.
+  * rtf_with_host_transfers — every call pulls the audio batch to the
+    host the way production serving does: device-side int16 quantization,
+    4.6 MB pcm16 pull (cli/serve.py's wire format; r4 pulled f32 — 9.2 MB
+    the server never transfers).  The JSON carries a per-call
+    decomposition (dispatch / pull / chained device time / residual
+    overhead, median across the 5 calls) PLUS three compute-free probes
+    that attribute the overhead term: a scalar pull (the pure per-call
+    relay floor), a 9.2 MB f32 pull and a 4.6 MB pcm16 pull (the
+    bandwidth slope).  r4 measured the overhead at 291.6 ms/call —
+    an order of magnitude above the "~25-30 ms RPC floor" earlier docs
+    assumed; the probes exist so that term is attributed on sight:
+    device_ms moved = real regression; probe floor moved = relay;
+    bandwidth slope moved = transfer path.
 """
 
 import json
@@ -116,24 +122,30 @@ def main():
     audio_seconds = BATCH * AUDIO_SECONDS_PER_ITEM
     rtf = audio_seconds / per_iter
 
-    # --- serving-style RTF: per-call with full host audio pull ---
+    # --- serving-style RTF: per-call with the PRODUCTION host pull ---
     # Per-call DECOMPOSITION (round-3 verdict #7): each call is timed as
     # dispatch (async enqueue returning) + pull (np.asarray host read),
-    # and the chained-diff device time above bounds the true compute —
-    # so a round-over-round swing in this metric is attributable on
-    # sight: device_ms moves = real regression; dispatch/pull move =
-    # the relay's ~25-30 ms RPC floor breathing (it swung the r2->r3
-    # number 126.6 -> 110.1 with device RTF UP, see BENCHMARKS.md).
+    # and the chained-diff device time above bounds the true compute.
+    # Since r5 this measures the pull production serving actually does:
+    # cli/serve.py quantizes to int16 ON DEVICE and pulls 4.6 MB pcm16
+    # (bit-identical to the 16-bit WAV wire format), not the 9.2 MB f32
+    # batch r4 timed.
+    fn16 = synth._get_synth_fn(pcm16=True)
     n_iters = 5
     seeds = [jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape)
              for i in range(n_iters)]
+    # compile outside the timed loop, on an input the loop never reuses
+    # (byte-identical re-executions can be served from the relay cache)
+    warm = jax.random.normal(jax.random.PRNGKey(10_000), x_T.shape)
+    np.asarray(fn16(synth.model_params, synth.codec_params,
+                    warm, ids, mask)[0])
     call_ms = []
     for i in range(n_iters):
         t0 = time.perf_counter()
-        w, _ = synth._synth_fn(synth.model_params, synth.codec_params,
-                               seeds[i], ids, mask)
+        w16 = fn16(synth.model_params, synth.codec_params,
+                   seeds[i], ids, mask)[0]
         t1 = time.perf_counter()
-        np.asarray(w)
+        np.asarray(w16)
         t2 = time.perf_counter()
         call_ms.append(((t1 - t0) * 1e3, (t2 - t1) * 1e3))
     totals = sorted(d + p for d, p in call_ms)
@@ -141,6 +153,33 @@ def main():
     elapsed_xfer = med_total / 1e3
     rtf_xfer = audio_seconds / elapsed_xfer
     device_ms = per_iter * 1e3
+
+    # --- overhead ATTRIBUTION probes (r4 verdict #5): compute-free
+    # programs isolate the relay's per-call floor from pull bandwidth.
+    # Each probe result depends on a fresh input so no call can be
+    # cache-served; median of n_iters.
+    wav_elems = BATCH * host_wav.shape[1]
+
+    def probe(make_out):
+        fn = jax.jit(make_out)
+        np.asarray(fn(jnp.float32(1.5)))  # compile
+        times = []
+        for i in range(n_iters):
+            seed = jnp.float32(1.0 + 1e-6 * (i + 1))
+            t0 = time.perf_counter()
+            np.asarray(fn(seed))
+            times.append((time.perf_counter() - t0) * 1e3)
+        return sorted(times)[n_iters // 2]
+
+    probe_scalar = probe(lambda s: s * 2.0)
+    probe_f32 = probe(lambda s: jnp.full((wav_elems,), s, jnp.float32))
+    probe_pcm16 = probe(
+        lambda s: jnp.full((wav_elems,), s * 1e4, jnp.float32)
+        .astype(jnp.int16))
+    f32_mb = wav_elems * 4 / 1e6
+    bw = (f32_mb / ((probe_f32 - probe_scalar) / 1e3)
+          if probe_f32 > probe_scalar else float("inf"))
+
     seq_breakdown = {
         "seq_dispatch_ms_med": round(
             sorted(d for d, _ in call_ms)[n_iters // 2], 1),
@@ -148,11 +187,16 @@ def main():
             sorted(p for _, p in call_ms)[n_iters // 2], 1),
         "seq_total_ms_min": round(totals[0], 1),
         "seq_total_ms_med": round(med_total, 1),
+        "seq_pull_bytes": wav_elems * 2,   # pcm16, the serving format
         "device_ms_chained": round(device_ms, 1),
-        # what the relay adds per sequential call beyond pure compute —
-        # the RPC floor + host quantize/copy; THIS is the term that
-        # swings between rounds, not the device program
+        # what the relay adds per sequential call beyond pure compute;
+        # attribute it with the probes below: floor (scalar) + bandwidth
+        # (f32-vs-scalar slope) + residual
         "seq_overhead_ms_med": round(med_total - device_ms, 1),
+        "probe_scalar_ms_med": round(probe_scalar, 1),
+        "probe_pull_f32_ms_med": round(probe_f32, 1),
+        "probe_pull_pcm16_ms_med": round(probe_pcm16, 1),
+        "pull_bandwidth_mb_s": round(bw, 1),
     }
 
     # --- pipelined serving: dispatch batch i+1 BEFORE pulling batch i's
@@ -160,23 +204,21 @@ def main():
     # next batch's device compute — what cli/serve.py's two-stage batcher
     # does in production, including its device-side int16 quantization
     # (half the pull bytes; bit-identical to the 16-bit WAV wire format)
-    # reuse the pipeline's own cached pcm16 executable (what serve.py
-    # runs) instead of jitting a duplicate program
-    fn16 = synth._get_synth_fn(pcm16=True)
-    # warm up on an input the timed loop never reuses: a byte-identical
-    # re-execution can be served from the relay cache (CLAUDE.md), which
-    # would make timed batch 0 free and inflate the pipelined RTF
-    warm = jax.random.normal(jax.random.PRNGKey(10_000), x_T.shape)
-    np.asarray(fn16(synth.model_params, synth.codec_params,
-                    warm, ids, mask)[0])              # compile
+    # fn16 (the pipeline's cached pcm16 executable — what serve.py runs)
+    # was compiled and warmed above for the sequential metric.  FRESH
+    # seeds: the sequential loop already executed seeds[0..n) through
+    # this same program, and a byte-identical re-execution can be served
+    # from the relay cache, which would fake the pipelined number.
+    pseeds = [jax.random.normal(jax.random.PRNGKey(100 + i), x_T.shape)
+              for i in range(n_iters)]
     t_start = time.perf_counter()
     dev = fn16(synth.model_params, synth.codec_params,
-               seeds[0], ids, mask)[0]
+               pseeds[0], ids, mask)[0]
     for i in range(n_iters):
         nxt = None
         if i + 1 < n_iters:
             nxt = fn16(synth.model_params, synth.codec_params,
-                       seeds[i + 1], ids, mask)[0]
+                       pseeds[i + 1], ids, mask)[0]
         np.asarray(dev)
         dev = nxt
     elapsed_pipe = (time.perf_counter() - t_start) / n_iters
@@ -192,7 +234,7 @@ def main():
         # median resists one slow relay round-trip)
         "rtf_with_host_transfers": round(rtf_xfer, 2),
         "rtf_serving_pipelined": round(rtf_pipe, 2),
-        "methodology": "r4-chained-diff+decomposed",
+        "methodology": "r5-chained-diff+pcm16-pull+attributed",
         **seq_breakdown,
     }))
 

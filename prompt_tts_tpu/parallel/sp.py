@@ -37,7 +37,7 @@ from prompt_tts_tpu.parallel.mesh import (
     DATA_AXIS, MODEL_AXIS, SEQ_AXIS, seq_size,
 )
 
-_STATE = {"mesh": None, "ring_traces": 0}
+_STATE = {"mesh": None, "ring_traces": 0, "ring_tqs": []}
 
 
 def enable(mesh: Mesh) -> None:
@@ -54,6 +54,14 @@ def ring_trace_count() -> int:
     (diagnostic: lets tests assert SP actually engaged rather than
     silently falling back)."""
     return _STATE["ring_traces"]
+
+
+def ring_trace_tqs() -> list:
+    """The static sequence length (Tq) of every site that dispatched to
+    the ring path, in trace order — lets geometry tests assert WHICH
+    UNet pyramid levels engaged (e.g. 900/450 under sp=2) and which fell
+    back (odd levels like 225/113)."""
+    return list(_STATE["ring_tqs"])
 
 
 def active_mesh() -> Optional[Mesh]:
@@ -105,6 +113,7 @@ def maybe_ring_attention(q, k, v, bias) -> Optional[jnp.ndarray]:
     model = MODEL_AXIS if (n_model > 1 and H % n_model == 0) else None
     qkv = P(DATA_AXIS, SEQ_AXIS, model, None)
     _STATE["ring_traces"] += 1
+    _STATE["ring_tqs"].append(int(Tq))
 
     if key_bias is None:
         fn = shard_map(

