@@ -75,6 +75,12 @@ def parse_args(argv=None):
                         "(train/stacked.py); checkpoints stay canonical "
                         "per-leaf, so restore works across layouts. "
                         "Neither is TP-compatible.")
+    p.add_argument("--stacked_max_mb", type=float, default=4.0,
+                   help="With --bucketed_opt stacked: leaves larger than "
+                        "this stay per-leaf (partial stacking — full "
+                        "stacking doubles params+grads at peak and OOMs "
+                        "the flagship batch-32 step; "
+                        "tools/abl_leaf_sizes.py). 0 = stack everything.")
     p.add_argument("--fused_attn_bwd", choices=("auto", "on", "off"),
                    default="auto",
                    help="Pallas fused attention backward (forward and "
@@ -218,6 +224,8 @@ def main(argv=None):
         per_process_data=args.per_process_data,
         dropout_rng_impl=args.dropout_rng,
         bucketed_opt=args.bucketed_opt,
+        stacked_max_bytes=(None if args.stacked_max_mb == 0
+                           else int(args.stacked_max_mb * 2**20)),
         fused_attn_bwd=args.fused_attn_bwd,
         log_every=args.log_every,
     )

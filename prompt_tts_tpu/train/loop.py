@@ -56,6 +56,7 @@ class Trainer:
         per_process_data: bool = False,
         dropout_rng_impl: str = "threefry",
         bucketed_opt: str = "auto",
+        stacked_max_bytes: Optional[int] = 4 * 2**20,
         fused_attn_bwd: str = "auto",
         log_every: int = 0,
     ):
@@ -186,11 +187,17 @@ class Trainer:
         # (train/stacked.py) — no per-step bucketing copies; checkpoints
         # stay canonical per-leaf (converted at the save/restore boundary
         # below), so unlike "on" the layout is not part of the checkpoint.
+        # PARTIAL by default: FULL stacking OOM'd at the flagship
+        # batch-32 point (the buckets + their sliced views double
+        # params/grads at peak), so leaves above stacked_max_bytes stay
+        # per-leaf — the census (tools/abl_leaf_sizes.py) puts 649/707
+        # leaves under the 4 MiB default at ~1/3 the duplication.
         self._stacked_plan = None
         if bucketed_opt == "stacked":
             from prompt_tts_tpu.train.stacked import StackedPlan
             from prompt_tts_tpu.train.state import decay_mask
-            self._stacked_plan = StackedPlan(params, decay_mask(params))
+            self._stacked_plan = StackedPlan(params, decay_mask(params),
+                                             max_leaf_bytes=stacked_max_bytes)
         self.state = create_train_state(
             self.model, params, tcfg, self.num_training_steps,
             bucketed_opt=use_buckets, stacked_plan=self._stacked_plan)

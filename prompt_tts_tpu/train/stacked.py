@@ -29,16 +29,30 @@ restores under any other optimizer layout and vice versa — unlike
 Not TP-compatible (stacked moments have no per-leaf sharding), same
 gate as the bucketed mode.
 
+PARTIAL stacking (``max_leaf_bytes``, round 5): FULL stacking OOM'd on
+the chip at the flagship batch-32 operating point — the stacked buckets
+plus their materialized per-leaf views double params AND grads at peak
+(~2 GB over the per-leaf program, tools/abl_step_matrix.py r5).  The
+census (tools/abl_leaf_sizes.py) shows the dispatch overhead and the
+bytes live in DIFFERENT leaves: 649 of the flagship's 707 leaves are
+<= 4 MiB but hold only 367 of 936 MiB.  Stacking only leaves below the
+threshold collapses the update to ~98 chains at ~1/3 the duplication;
+the big conv/proj kernels stay per-leaf (few chains, and XLA overlaps
+them with the backward tail).  Leaves above the threshold ride the
+SAME flat state dict under per-leaf ``p###`` keys, so checkpoints,
+canonicalize, and the optimizer mask are layout-uniform.
+
 The reference has no analogue (torch AdamW walks ~1.1k tensors,
 reference train.py:41-47); this is a TPU/XLA lowering strategy.
 Measured on-chip in tools/abl_step_matrix.py (the VERDICT-prescribed
 full-step matrix row).
 """
 
-from typing import Any, Callable, List
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from prompt_tts_tpu.train.bucketed import plan_buckets
 
@@ -74,24 +88,49 @@ class StackedPlan:
     flat dict ``{"b000": [N0, *shape0], ...}`` — a stable, orbax- and
     tree-map-friendly container whose structure is unambiguous enough
     to detect inside optimizer states.
+
+    ``max_leaf_bytes``: leaves LARGER than this stay per-leaf, carried
+    in the same flat dict under ``p###`` keys (partial stacking — see
+    module docstring; None stacks everything).
     """
 
-    def __init__(self, params: Any, decay_tree: Any):
-        self.treedef, self.groups, self.flags = plan_buckets(
-            params, decay_tree)
+    def __init__(self, params: Any, decay_tree: Any,
+                 max_leaf_bytes: Optional[int] = None):
+        self.treedef, groups, flags = plan_buckets(params, decay_tree)
+        leaves = jax.tree_util.tree_leaves(params)
+        self.groups: List[List[int]] = []
+        self.flags: List[bool] = []
+        self.pass_idx: List[int] = []
+        pass_flags: List[bool] = []
+        for idxs, flag in zip(groups, flags):
+            leaf = leaves[idxs[0]]
+            nbytes = int(np.prod(leaf.shape)) * leaf.dtype.itemsize \
+                if leaf.shape else leaf.dtype.itemsize
+            if max_leaf_bytes is not None and nbytes > max_leaf_bytes:
+                self.pass_idx.extend(idxs)
+                pass_flags.extend([flag] * len(idxs))
+            else:
+                self.groups.append(idxs)
+                self.flags.append(flag)
         self.keys: List[str] = [
             f"b{i:03d}" for i in range(len(self.groups))]
-        self._bucket_tdef = jax.tree_util.tree_structure(
-            {k: 0 for k in self.keys})
+        self.pass_keys: List[str] = [
+            f"p{i:03d}" for i in range(len(self.pass_idx))]
+        self.pass_flags = pass_flags
+        self._all_keys = frozenset(self.keys) | frozenset(self.pass_keys)
         self._param_tdef = self.treedef
 
     # -- per-tree operators (used at boundaries AND inside jit) --------
 
     def stack_tree(self, tree: Any) -> dict:
-        """Param-structured tree -> stacked bucket dict (copies)."""
+        """Param-structured tree -> stacked bucket dict (copies; the
+        ``p###`` passthrough leaves ride along unstacked)."""
         leaves = jax.tree_util.tree_leaves(tree)
-        return {k: jnp.stack([leaves[i] for i in idxs])
-                for k, idxs in zip(self.keys, self.groups)}
+        out = {k: jnp.stack([leaves[i] for i in idxs])
+               for k, idxs in zip(self.keys, self.groups)}
+        for k, i in zip(self.pass_keys, self.pass_idx):
+            out[k] = leaves[i]
+        return out
 
     def unstack_tree(self, buckets: dict) -> Any:
         """Stacked bucket dict -> param-structured tree.
@@ -105,6 +144,8 @@ class StackedPlan:
             b = buckets[k]
             for j, i in enumerate(idxs):
                 out[i] = b[j]
+        for k, i in zip(self.pass_keys, self.pass_idx):
+            out[i] = buckets[k]
         return jax.tree_util.tree_unflatten(self.treedef, out)
 
     def wrap_apply(self, apply_fn: Callable) -> Callable:
@@ -114,15 +155,17 @@ class StackedPlan:
         return apply
 
     def decay_mask(self) -> dict:
-        """Per-bucket AdamW decay mask (buckets never mix flags)."""
-        return dict(zip(self.keys, self.flags))
+        """Per-key AdamW decay mask (buckets never mix flags)."""
+        mask = dict(zip(self.keys, self.flags))
+        mask.update(zip(self.pass_keys, self.pass_flags))
+        return mask
 
     # -- whole-state layout conversion (checkpoint boundary) -----------
 
     def _is_bucket_dict(self, node: Any) -> bool:
         return (isinstance(node, dict)
-                and len(node) == len(self.keys)
-                and set(node.keys()) == set(self.keys))
+                and len(node) == len(self._all_keys)
+                and frozenset(node.keys()) == self._all_keys)
 
     def _is_param_tree(self, node: Any) -> bool:
         if not isinstance(node, dict) or self._is_bucket_dict(node):

@@ -208,6 +208,87 @@ class TestCheckpointPortability:
         assert np.isfinite(dst.train(epochs=3))
 
 
+class TestPartialStacking:
+    """``max_leaf_bytes``: leaves above the threshold stay per-leaf in
+    the same flat state dict (p### keys).  Full stacking OOMs the chip
+    at the flagship batch-32 point (tools/abl_step_matrix.py r5), so
+    partial is the Trainer default (4 MiB); here the threshold is
+    dropped to 16 KiB so the TINY model exercises both populations."""
+
+    THRESH = 16 * 1024
+
+    def test_round_trip_and_split(self, synth_data, tmp_path):
+        t = _trainer(synth_data, tmp_path, "stacked", "p_rt",
+                     stacked_max_bytes=self.THRESH)
+        plan = t._stacked_plan
+        assert plan.pass_keys, "threshold produced no passthrough leaves"
+        assert plan.keys, "threshold stacked nothing"
+        # every passthrough leaf is actually over the threshold and every
+        # stacked bucket member under it
+        leaves = jax.tree_util.tree_leaves(plan.unstack_tree(
+            t.state.params))
+        for i in plan.pass_idx:
+            assert leaves[i].nbytes > self.THRESH
+        for idxs in plan.groups:
+            for i in idxs:
+                assert leaves[i].nbytes <= self.THRESH
+        canon = plan.unstack_tree(t.state.params)
+        again = plan.stack_tree(canon)
+        for k in list(plan.keys) + list(plan.pass_keys):
+            np.testing.assert_array_equal(t.state.params[k], again[k])
+        ref = _trainer(synth_data, tmp_path, "off", "p_rt_ref")
+        for (path, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(ref.state.params),
+                jax.tree_util.tree_leaves_with_path(canon)):
+            np.testing.assert_array_equal(
+                x, y, err_msg=jax.tree_util.keystr(path))
+
+    def test_trajectory_and_checkpoint_portability(
+            self, synth_data, tmp_path):
+        """Partial-stacked run matches the per-leaf loss and its
+        checkpoint restores bit-equal under the default layout."""
+        a = _trainer(synth_data, tmp_path, "off", "p_a")
+        b = _trainer(synth_data, tmp_path, "stacked", "p_b",
+                     stacked_max_bytes=self.THRESH)
+        la = a.train()
+        lb = b.train()
+        assert la == pytest.approx(lb, rel=1e-3)
+        b.ckpt.wait()
+        dst = Trainer(tiny_config(), synth_data,
+                      log_dir=str(tmp_path / "p_dst" / "logs"),
+                      ckpt_dir=str(tmp_path / "p_b" / "ckpt"),
+                      bucketed_opt="off")
+        assert dst.restore_latest() == b.global_step
+        canon = b._ckpt_state()
+        for (path, x), (_, y) in zip(
+                jax.tree_util.tree_leaves_with_path(canon.params),
+                jax.tree_util.tree_leaves_with_path(dst.state.params)):
+            np.testing.assert_array_equal(
+                x, y, err_msg=jax.tree_util.keystr(path))
+        for x, y in zip(jax.tree_util.tree_leaves(canon.opt_state),
+                        jax.tree_util.tree_leaves(dst.state.opt_state)):
+            np.testing.assert_array_equal(x, y)
+
+    def test_decay_mask_covers_both_populations(self, synth_data,
+                                                tmp_path):
+        import dataclasses
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, time_embedding_type="fourier"))
+        t = Trainer(cfg, synth_data,
+                    log_dir=str(tmp_path / "p_mask" / "logs"),
+                    bucketed_opt="stacked",
+                    stacked_max_bytes=self.THRESH)
+        plan = t._stacked_plan
+        leaves = jax.tree_util.tree_leaves(
+            decay_mask(plan.unstack_tree(t.state.params)))
+        flags = plan.decay_mask()
+        for k, idxs in zip(plan.keys, plan.groups):
+            assert {leaves[i] for i in idxs} == {flags[k]}, k
+        for k, i in zip(plan.pass_keys, plan.pass_idx):
+            assert leaves[i] == flags[k], k
+
+
 class TestGuards:
     def test_tp_incompatible(self, synth_data, tmp_path):
         if len(jax.devices()) < 2:
@@ -223,7 +304,9 @@ class TestGuards:
         t = _trainer(synth_data, tmp_path, "stacked", "ema",
                      train_kw=dict(ema_decay=0.5, num_train_epochs=1))
         t.train()
-        assert set(t.state.ema_params) == set(t._stacked_plan.keys)
+        plan = t._stacked_plan
+        assert (set(t.state.ema_params)
+                == set(plan.keys) | set(plan.pass_keys))
         canon = t._ckpt_state()
         paths = [jax.tree_util.keystr(p) for p, _ in
                  jax.tree_util.tree_leaves_with_path(canon.ema_params)]

@@ -26,8 +26,15 @@ per-step to/from-bucket copies at all — the exact variant the round-4
 matrix's own root-cause analysis pointed at (the copies serialize; the
 stacked math itself is the 9.5 ms regime).
 
+MEASURED r5: FULL stacking RESOURCE_EXHAUSTs the chip at the flagship
+batch-32 point even in a fresh process (the stacked buckets plus their
+materialized per-leaf views double params and grads at peak) — hence
+``stacked:<MiB>`` partial layouts: leaves above the threshold stay
+per-leaf (census: tools/abl_leaf_sizes.py — 4 MiB keeps 649/707 leaves
+stacked at ~1/3 the duplication).
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u tools/abl_step_matrix.py
-     [--layouts per_leaf,bucketed,stacked] [--attn xla,all,long]
+     [--layouts per_leaf,bucketed,stacked,stacked:4] [--attn xla,all,long]
 """
 
 import argparse
@@ -76,9 +83,15 @@ ATTN_ALL = {"xla": ("xla ", False, 0), "all": ("all ", True, 0),
 
 
 def build_layout(layout):
-    """(train_step, make_state) for an optimizer layout."""
-    if layout == "stacked":
-        plan = StackedPlan(params, decay_mask(params))
+    """(train_step, make_state) for an optimizer layout.
+
+    ``stacked`` stacks everything; ``stacked:<MiB>`` is the partial
+    layout (leaves above the threshold stay per-leaf)."""
+    if layout.startswith("stacked"):
+        thresh = (int(float(layout.split(":")[1]) * 2**20)
+                  if ":" in layout else None)
+        plan = StackedPlan(params, decay_mask(params),
+                           max_leaf_bytes=thresh)
         step = make_train_step(plan.wrap_apply(model.apply), sched)
         return step, lambda: create_train_state(
             model, params, cfg.train, 1000, stacked_plan=plan)
