@@ -44,8 +44,15 @@ canonicalize, and the optimizer mask are layout-uniform.
 
 The reference has no analogue (torch AdamW walks ~1.1k tensors,
 reference train.py:41-47); this is a TPU/XLA lowering strategy.
-Measured on-chip in tools/abl_step_matrix.py (the VERDICT-prescribed
-full-step matrix row).
+
+MEASURED AND DECLINED as a default (r5, tools/abl_step_matrix.py,
+on-chip same-process full-step matrix): full stacking OOMs at the
+flagship batch-32 point, and the partial 4 MiB layout loses 242.4 vs
+236.1 ms/step — with the per-step copies gone, the grad-bucket
+assembly still serializes where XLA otherwise overlaps the per-leaf
+update chains with the backward tail.  Kept as an explicit flag for
+layouts where the trade-off differs (small models, huge
+accumulation); see ARCHITECTURE.md "the optimizer tail is priced".
 """
 
 from typing import Any, Callable, List, Optional
