@@ -160,15 +160,26 @@ def _use_fused_bwd(q, k, v, bias) -> bool:
             return False          # SP owns attention on seq meshes
         if B % mesh.shape[DATA_AXIS]:
             return False
-    # VMEM budget: the kernel keeps full [Tk_p, H*D] K/V panels at the
-    # input dtype plus two f32 dk/dv accumulator blocks resident per
-    # batch row — gate on the actual byte footprint, not Tk alone (a
-    # wide-head config can blow VMEM at modest Tk; r4 advisor finding).
-    # 12 MiB leaves headroom under the ~16 MiB/core budget for the
-    # q/do/o/dq blocks and double-buffering.
+    # VMEM budget: gate on the kernel's RESIDENT byte classes, not Tk
+    # alone (a wide-head config can blow VMEM at modest Tk; r4 advisor
+    # finding).  Counted per grid step (ops/pallas/attention_bwd.py):
+    # [Tk_p, H*D] K/V panels at the input dtype (x2 for pipeline
+    # double-buffering) + two f32 dk/dv accumulator panels + ~4
+    # score-sized [128, Tk_p] f32 temporaries per q-block + the
+    # double-buffered [128, H*D] q/do/o blocks and the f32 dq block.
+    # Calibrated r5: the f32 text-encoder site (Tk_p=640, H*D=768)
+    # measured 19.10 MiB scoped-vmem actual vs the old K/V-only gate's
+    # 7.9 MiB estimate and failed at compile; this model estimates it
+    # at 16.2 MiB and rejects.  The shipped bf16 sites estimate 6.6 to
+    # 11.1 MiB and all compile and run.  12 MiB keeps ~matching margin
+    # under the 16 MiB/core scoped limit.
     tk_p = -(-Tk // 128) * 128
-    kv_bytes = tk_p * H * D * (2 * q.dtype.itemsize + 2 * 4)
-    return kv_bytes <= 12 * 2**20 and D <= 128
+    itm = q.dtype.itemsize
+    hd = H * D
+    est = (tk_p * hd * (4 * itm + 8)        # k/v x2 buffers + f32 dk/dv
+           + 128 * tk_p * 16                # f32 score-block temporaries
+           + 128 * hd * (3 * itm + 4) * 2)  # q/do/o x2 + f32 dq
+    return est <= 12 * 2**20 and D <= 128
 
 
 def _fused_bwd_call(q, k, v, bias):

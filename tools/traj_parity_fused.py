@@ -23,11 +23,13 @@ compared ON DEVICE (relative L2 + max |Δ| per tree) so nothing but
 scalars and the loss vectors cross the relay.  The XLA path runs
 FIRST so a fused-path fault cannot take the baseline with it.
 
-Expected (and round-5 measured — BENCHMARKS.md "Training parity"):
-f32 agrees at reorder level (the kernel sums in f32 like XLA, in a
-different order); bf16 grads differ O(bf16 eps) per step and the
-trajectories stay in-class (same descent, relative loss gap well under
-the 2% certification bar) without being bitwise-identical.
+Measured round 5 (BENCHMARKS.md "Training parity"): bf16 300-step
+flagship — max relative loss gap 6.2e-4, final params rel L2 1.65e-5;
+f32 100-step batch 16 — gap 1.3e-4, params rel L2 2.1e-6 (reorder
+level, as theory predicts: the kernel sums in f32 like XLA, in a
+different order).  The f32 run also drives the recalibrated VMEM gate:
+its text-encoder site falls back (measured 19.10 MiB residency > the
+16 MiB scoped limit) while the UNet sites stay fused.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u \
          tools/traj_parity_fused.py [--steps 300] [--dtype bf16]
